@@ -1,0 +1,118 @@
+"""CC labeling + sieve + regionprops vs scipy.ndimage oracle.
+
+scipy.ndimage.label assigns labels in raster order of each component's first
+pixel — the same convention as skimage.measure.label used by the reference
+(quantify_droplets_batch.py:82), so exact label equality is required.
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+import jax.numpy as jnp
+
+from unetdc_tpu.ops.connected_components import (
+    label,
+    sieve_small_components,
+    component_areas,
+)
+from unetdc_tpu.ops.regionprops import regionprops_table, centroid_size_image
+
+STRUCT_4 = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
+STRUCT_8 = np.ones((3, 3), bool)
+
+
+def _random_mask(rng, shape, p):
+    return (rng.rand(*shape) < p).astype(np.uint8)
+
+
+@pytest.mark.parametrize("connectivity,struct", [(1, STRUCT_4), (2, STRUCT_8)])
+@pytest.mark.parametrize("p", [0.2, 0.5, 0.8])
+def test_label_matches_scipy(rng, connectivity, struct, p):
+    m = _random_mask(rng, (64, 96), p)
+    ours, n = label(jnp.asarray(m), connectivity=connectivity)
+    ref, n_ref = ndi.label(m, structure=struct)
+    assert int(n) == n_ref
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_label_empty_and_full():
+    z = np.zeros((16, 16), np.uint8)
+    l0, n0 = label(jnp.asarray(z))
+    assert int(n0) == 0 and np.all(np.asarray(l0) == 0)
+    o = np.ones((16, 16), np.uint8)
+    l1, n1 = label(jnp.asarray(o))
+    assert int(n1) == 1 and np.all(np.asarray(l1) == 1)
+
+
+def test_label_worst_case_snake():
+    # serpentine path: long single component exercising propagation depth
+    m = np.zeros((32, 32), np.uint8)
+    for r in range(0, 32, 2):
+        m[r, :] = 1
+    for i, r in enumerate(range(1, 32, 2)):
+        m[r, 31 if i % 2 == 0 else 0] = 1
+    ours, n = label(jnp.asarray(m))
+    ref, n_ref = ndi.label(m, structure=STRUCT_4)
+    assert int(n) == n_ref == 1
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_sieve_matches_reference_semantics(rng):
+    """Reproduce quantify()'s sieve-then-relabel (quantify_droplets_batch.py:
+    81-95) against a direct numpy implementation."""
+    m = _random_mask(rng, (64, 64), 0.35)
+    min_area = 4
+    lab, n = label(jnp.asarray(m))
+    sieved, n2 = sieve_small_components(lab, min_area, num_segments=64 * 64 // 2 + 2)
+
+    ref, _ = ndi.label(m, structure=STRUCT_4)
+    for lv in np.unique(ref):
+        if lv and (ref == lv).sum() < min_area:
+            ref[ref == lv] = 0
+    ref2, n_ref2 = ndi.label(ref > 0, structure=STRUCT_4)
+    assert int(n2) == n_ref2
+    np.testing.assert_array_equal(np.asarray(sieved), ref2)
+
+
+def test_regionprops_matches_numpy(rng):
+    m = _random_mask(rng, (48, 80), 0.3)
+    lab, n = label(jnp.asarray(m))
+    n = int(n)
+    props = regionprops_table(lab, max_labels=1024)
+    labnp = np.asarray(lab)
+    for k in range(1, n + 1):
+        ys, xs = np.where(labnp == k)
+        assert props["area"][k - 1] == len(ys)
+        np.testing.assert_allclose(props["centroid-0"][k - 1], ys.mean(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(props["centroid-1"][k - 1], xs.mean(),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            props["equivalent_diameter"][k - 1],
+            np.sqrt(4 * len(ys) / np.pi), rtol=1e-5)
+    # padding rows are zero-area
+    assert np.all(np.asarray(props["area"][n:]) == 0)
+
+
+def test_centroid_size_image(rng):
+    """vs algorithms.py:561-576 semantics (int(centroid+0.5) placement)."""
+    m = _random_mask(rng, (32, 32), 0.25)
+    lab, n = label(jnp.asarray(m), connectivity=2)
+    img = np.asarray(centroid_size_image(lab, max_labels=256))
+    labnp = np.asarray(lab)
+    expected = np.zeros_like(img)
+    for k in range(1, int(n) + 1):
+        ys, xs = np.where(labnp == k)
+        cy, cx = int(ys.mean() + 0.5), int(xs.mean() + 0.5)
+        expected[cy, cx] = len(ys)
+    np.testing.assert_array_equal(img, expected)
+
+
+def test_component_areas(rng):
+    m = _random_mask(rng, (40, 40), 0.4)
+    lab, n = label(jnp.asarray(m))
+    areas = np.asarray(component_areas(lab, num_segments=801))
+    ref, n_ref = ndi.label(m, structure=STRUCT_4)
+    for k in range(1, int(n) + 1):
+        assert areas[k] == (ref == k).sum()

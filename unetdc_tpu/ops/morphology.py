@@ -1,0 +1,129 @@
+"""Grayscale/binary morphology on TPU via windowed min/max.
+
+Replaces cv2.morphologyEx / scipy binary_dilation in the reference
+(utils/data_loader.py:17-19 rolling-ball opening with a MORPH_ELLIPSE
+element; quantify_pipline.py:48-50 15x15 close/open; algorithms.py:92
+3x3 binary dilation).
+
+Design: erosion with an arbitrary convex footprint decomposes into per-row
+horizontal windowed mins (`lax.reduce_window`, identity padding) followed by
+vertical shifts + min-reduction. Rows of the ellipse with equal runs share
+one reduce_window. All ops are jittable and batch/vmap-friendly; dilation is
+the max dual. Borders replicate cv2's defaults: erosion pads +inf, dilation
+pads -inf (cv2 morphologyDefaultBorderValue semantics), so image borders
+never shrink/grow artificially.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def ellipse_kernel(ksize: int) -> np.ndarray:
+    """Elliptical structuring element, bit-exact with
+    cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize)).
+
+    cv2's rasterization (imgproc/src/morph.cpp): integer half-axes
+    r = c = ksize//2; row i covers columns [c-dx, c+dx] with
+    dx = saturate_cast<int>(c * sqrt(max(r^2 - dy^2, 0) / r^2)) (round-half-
+    to-even), dy = i - r. Rows with |dy| > r are empty.
+    """
+    r = c = ksize // 2
+    kern = np.zeros((ksize, ksize), np.uint8)
+    inv_r2 = 1.0 / (r * r) if r else 0.0
+    for i in range(ksize):
+        dy = i - r
+        if abs(dy) > r:
+            continue
+        dx = int(np.rint(c * np.sqrt(max(r * r - dy * dy, 0) * inv_r2)))
+        j1, j2 = max(c - dx, 0), min(c + dx + 1, ksize)
+        kern[i, j1:j2] = 1
+    return kern
+
+
+def _footprint_rows(kernel: np.ndarray) -> List[Tuple[int, int, int]]:
+    """[(row, j1, j2)] runs for each non-empty kernel row. Requires each row
+    to be a single contiguous run (true for ellipses and boxes)."""
+    rows = []
+    for i in range(kernel.shape[0]):
+        nz = np.flatnonzero(kernel[i])
+        if nz.size == 0:
+            continue
+        j1, j2 = int(nz[0]), int(nz[-1]) + 1
+        assert np.all(kernel[i, j1:j2]), "footprint rows must be contiguous"
+        rows.append((i, j1, j2))
+    return rows
+
+
+def _vshift(x: jax.Array, dy: int, fill) -> jax.Array:
+    h = x.shape[0]
+    if dy == 0:
+        return x
+    pt, pb = max(-dy, 0), max(dy, 0)
+    padded = jnp.pad(x, ((pt, pb), (0, 0)), constant_values=fill)
+    return padded[dy + pt: dy + pt + h, :]
+
+
+def erode(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """Grayscale erosion (cv2.erode semantics: dst(y,x) = min over kernel
+    taps of src(y+i-ay, x+j-ax), anchor = k//2 like cv2's default)."""
+    k = np.asarray(kernel)
+    return _morph_anchor(img, k, (k.shape[0] // 2, k.shape[1] // 2), True)
+
+
+def dilate(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """Grayscale dilation. cv2.dilate applies the kernel UNFLIPPED with the
+    same k//2 anchor as erode (verified empirically on even asymmetric
+    ellipse kernels against cv2 5.0)."""
+    k = np.asarray(kernel)
+    return _morph_anchor(img, k, (k.shape[0] // 2, k.shape[1] // 2), False)
+
+
+def _morph_anchor(img, kernel, anchor, is_erode):
+    kh, kw = kernel.shape
+    ay, ax = anchor
+    x = img.astype(jnp.float32)
+    fill = jnp.inf if is_erode else -jnp.inf
+    reducer = lax.min if is_erode else lax.max
+    init = np.float32(np.inf if is_erode else -np.inf)
+    runs = {}
+    for i, j1, j2 in _footprint_rows(kernel):
+        runs.setdefault((j1, j2), []).append(i)
+    out = None
+    for (j1, j2), row_ids in runs.items():
+        wlen = j2 - j1
+        lo = ax - j1
+        hi = (j2 - 1) - ax
+        h_reduced = lax.reduce_window(
+            x, init, reducer,
+            window_dimensions=(1, wlen), window_strides=(1, 1),
+            padding=((0, 0), (lo, hi)),
+        )
+        for i in row_ids:
+            shifted = _vshift(h_reduced, i - ay, fill)
+            out = shifted if out is None else reducer(out, shifted)
+    return out
+
+
+def morph_open(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """Opening = erode then dilate (cv2.MORPH_OPEN,
+    utils/data_loader.py:19)."""
+    return dilate(erode(img, kernel), kernel)
+
+
+def morph_close(img: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """Closing = dilate then erode (cv2.MORPH_CLOSE,
+    quantify_pipline.py:49)."""
+    return erode(dilate(img, kernel), kernel)
+
+
+def binary_dilation3x3(mask: jax.Array) -> jax.Array:
+    """scipy.ndimage.binary_dilation(structure=ones((3,3))) equivalent
+    (algorithms.py:92, segmentation_two_thresholds)."""
+    return dilate(mask.astype(jnp.float32), np.ones((3, 3), np.uint8)) > 0.5
