@@ -1,0 +1,142 @@
+"""End-to-end golden test: full TPU pipeline vs a torch+cv2+scipy oracle of
+the reference `quantify_droplets_batch.py`, on synthetic images with a
+decisive (sigmoid-saturated) random checkpoint so masks are bit-stable.
+
+Uses img_size=128 (the model is fully convolutional; 512 is just the
+reference's constant) to keep CPU runtime sane."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.torch_reference import (
+    make_decisive_checkpoint, reference_pipeline_one_image)
+
+IMG_SIZE = 128
+PX_PER_UM = 3.45
+
+
+@pytest.fixture(scope="module")
+def ckpt_and_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "ref.pth"
+    model = make_decisive_checkpoint(str(path))
+    return str(path), model
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    d = tmp_path_factory.mktemp("imgs")
+    for i in range(3):
+        img = (rng.rand(96, 112, 3) * 60).astype(np.uint8)
+        # paint bright blobs
+        yy, xx = np.mgrid[:96, :112]
+        for _ in range(6):
+            cy, cx = rng.randint(10, 86), rng.randint(10, 102)
+            r = rng.randint(3, 9)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+            img[blob] = np.minimum(img[blob] + 180, 255)
+        Image.fromarray(img).save(d / f"img{i:02d}.png")
+    return str(d)
+
+
+def test_pipeline_end_to_end(ckpt_and_model, image_dir, tmp_path):
+    ckpt, tmodel = ckpt_and_model
+
+    from unetdc_tpu.pipelines.engine import load_engine
+    from unetdc_tpu.pipelines.quantify_batch import (
+        BatchQuantifyPipeline, list_images)
+
+    engine = load_engine(ckpt, fast=False)
+    engine.img_size = IMG_SIZE
+    out_dir = tmp_path / "out"
+    pipe = BatchQuantifyPipeline(
+        engine, str(out_dir), batch=2, prob_thresh=0.3, min_area=2,
+        px_per_micron=PX_PER_UM, save_overlays=True, background_radius=20)
+    pipe.run(image_dir, progress=False)
+    pipe.write_reports()
+
+    # ---- artifact set matches the reference output tree -----------------
+    assert (out_dir / "summary_per_image.csv").exists()
+    assert (out_dir / "all_droplets.csv").exists()
+    assert (out_dir / "droplet_size_stats.csv").exists()
+    assert (out_dir / "size_histogram.png").exists()
+    for p in list_images(image_dir):
+        assert (out_dir / "predicted_masks" / f"{p.stem}_pred.png").exists()
+        assert (out_dir / f"{p.stem}_droplets.csv").exists()
+        assert (out_dir / "overlays" / f"{p.stem}_overlay.png").exists()
+    # xlsxwriter is absent in this image -> reference fallback file
+    assert (out_dir / "all_droplets_noexcel.csv").exists()
+
+    # ---- numeric parity with the oracle pipeline ------------------------
+    from PIL import Image
+
+    all_ref = []
+    for p in list_images(image_dir):
+        img = np.array(Image.open(p).convert("RGB"))
+        ref_mask, ref_df = reference_pipeline_one_image(
+            tmodel, img, IMG_SIZE, 0.3, 2, PX_PER_UM, background_radius=20)
+        ours_mask = np.array(Image.open(
+            out_dir / "predicted_masks" / f"{p.stem}_pred.png")) // 255
+        mism = (ours_mask != ref_mask).mean()
+        assert mism == 0.0, f"mask mismatch {mism} for {p.name}"
+        ours_df = pd.read_csv(out_dir / f"{p.stem}_droplets.csv")
+        ref_df = ref_df.copy()
+        ref_df.insert(0, "filename", p.name)
+        assert list(ours_df.columns) == list(ref_df.columns)
+        assert len(ours_df) == len(ref_df), p.name
+        np.testing.assert_array_equal(ours_df["label"], ref_df["label"])
+        np.testing.assert_array_equal(ours_df["area"], ref_df["area"])
+        for col in ["equivalent_diameter", "centroid-0", "centroid-1",
+                    "area_sqmicron", "eq_diam_micron"]:
+            np.testing.assert_allclose(ours_df[col], ref_df[col], rtol=1e-12,
+                                       err_msg=f"{p.name}:{col}")
+        all_ref.append(ref_df)
+
+    # ---- summary + stats files -------------------------------------------
+    summary = pd.read_csv(out_dir / "summary_per_image.csv")
+    assert list(summary.columns) == ["filename", "droplet_count",
+                                     "total_area_px"]
+    ref_concat = pd.concat(all_ref, ignore_index=True)
+    for i, p in enumerate(list_images(image_dir)):
+        sub = ref_concat[ref_concat.filename == p.name]
+        assert summary.loc[i, "droplet_count"] == len(sub)
+        assert summary.loc[i, "total_area_px"] == sub["area"].sum()
+
+    stats = pd.read_csv(out_dir / "droplet_size_stats.csv", index_col=0)
+    ref_stats = ref_concat["eq_diam_micron"].describe()[["mean", "50%", "std"]]
+    np.testing.assert_allclose(
+        stats.iloc[:, 0].values,
+        ref_stats.values, rtol=1e-9)
+
+
+def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
+    """All-dark image -> no droplets -> header-only droplets CSV and zero
+    summary row (reference behavior for empty DataFrames)."""
+    from PIL import Image
+
+    ckpt, _ = ckpt_and_model
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(d / "dark.png")
+
+    from unetdc_tpu.pipelines.engine import load_engine
+    from unetdc_tpu.pipelines.quantify_batch import BatchQuantifyPipeline
+
+    engine = load_engine(ckpt, fast=False)
+    engine.img_size = IMG_SIZE
+    out = tmp_path / "out"
+    pipe = BatchQuantifyPipeline(engine, str(out), batch=2, prob_thresh=0.99,
+                                 min_area=100000)
+    pipe.run(str(d), progress=False)
+    pipe.write_reports()
+    summary = pd.read_csv(out / "summary_per_image.csv")
+    assert summary.loc[0, "droplet_count"] == 0
+    assert summary.loc[0, "total_area_px"] == 0

@@ -1,0 +1,68 @@
+"""CLI: segment lipid droplets and build a report — flag-compatible with the
+reference `quantify_droplets_batch.py:100-128` (same names, defaults, and
+output tree) but running the TPU-native pipeline.
+
+    python -m unetdc_tpu.cli.quantify_droplets_batch --img_dir ... \
+        --ckpt_path best_UNetDC_focal_model.pth --out_dir quant_results \
+        --batch 8 --prob_thresh 0.3 --min_area 1 [--px_per_micron F]
+        [--save_overlays] [--background_radius 50] [--skip_excel]
+        [--skip_histogram]
+
+Extra (TPU-only, additive) flags: --precision {bf16,f32}, --data_parallel N.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Segment lipid droplets and build a report")
+    p.add_argument("--img_dir", required=True)
+    p.add_argument("--ckpt_path", default="best_UNetDC_focal_model.pth")
+    p.add_argument("--out_dir", default="quant_results")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--prob_thresh", type=float, default=0.3)
+    p.add_argument("--min_area", type=int, default=1,
+                   help="ignore objects smaller than this (pixels²)")
+    p.add_argument("--px_per_micron", type=float,
+                   help="pixels per micron for physical-unit columns")
+    p.add_argument("--save_overlays", action="store_true")
+    p.add_argument("--background_radius", type=int, default=50,
+                   help="radius for rolling ball background correction")
+    p.add_argument("--skip_excel", action="store_true",
+                   help="skip generation of the Excel workbook")
+    p.add_argument("--skip_histogram", action="store_true",
+                   help="skip histogram plot generation")
+    # TPU-native additions (defaults preserve reference behavior)
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16",
+                   help="model compute precision on TPU")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard the batch over N chips (0 = single chip)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.pipelines.engine import load_engine
+    from unetdc_tpu.pipelines.quantify_batch import BatchQuantifyPipeline
+
+    mesh = make_mesh(args.data_parallel) if args.data_parallel else None
+    engine = load_engine(args.ckpt_path, mesh=mesh,
+                         fast=(args.precision == "bf16"))
+    pipe = BatchQuantifyPipeline(
+        engine, args.out_dir, batch=args.batch, prob_thresh=args.prob_thresh,
+        min_area=args.min_area, px_per_micron=args.px_per_micron,
+        save_overlays=args.save_overlays,
+        background_radius=args.background_radius)
+    pipe.run(args.img_dir)
+    pipe.write_reports(skip_excel=args.skip_excel,
+                       skip_histogram=args.skip_histogram)
+    # stdout contract consumed by the GUIs (gui_qt.py:113-116)
+    print("\n All done. Outputs are in ", pipe.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Segmentation losses, formula-exact with the reference
+(utils/metrics_DC.py) but jittable/grad-safe.
+
+All losses take *probabilities* (the models apply sigmoid in forward,
+models/model_2.py:80) of shape (B, H, W, C) NHWC — the reference uses
+NCHW (B, 1, H, W) and reduces dice over dims (2, 3); we reduce over the
+spatial dims (1, 2), which is the same per-(batch, channel) reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SPATIAL = (1, 2)  # H, W of NHWC
+
+
+def dice_loss(pred: jax.Array, target: jax.Array, smooth: float = 1e-7
+              ) -> jax.Array:
+    """Soft dice loss (utils/metrics_DC.py:11-17): per-sample dice over
+    spatial dims, 1 - mean."""
+    intersection = jnp.sum(pred * target, axis=_SPATIAL)
+    union = jnp.sum(pred, axis=_SPATIAL) + jnp.sum(target, axis=_SPATIAL)
+    dice = (2.0 * intersection + smooth) / (union + smooth)
+    return 1.0 - jnp.mean(dice)
+
+
+def _bce(pred: jax.Array, target: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Elementwise binary cross-entropy on probabilities (torch BCELoss
+    semantics; clamp log terms for stability — torch clamps log at -100)."""
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    return -(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+
+
+def combined_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """0.5 * BCE + 0.5 * dice (utils/metrics_DC.py:19-22)."""
+    return 0.5 * jnp.mean(_bce(pred, target)) + 0.5 * dice_loss(pred, target)
+
+
+def dice_coef(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-7
+              ) -> jax.Array:
+    """Hard dice: binarize pred at 0.5 internally
+    (utils/metrics_DC.py:24-29)."""
+    y_pred = (y_pred > 0.5).astype(jnp.float32)
+    intersection = jnp.sum(y_true * y_pred, axis=_SPATIAL)
+    union = jnp.sum(y_true, axis=_SPATIAL) + jnp.sum(y_pred, axis=_SPATIAL)
+    dice = (2.0 * intersection + smooth) / (union + smooth)
+    return jnp.mean(dice)
+
+
+def focal_loss(pred: jax.Array, target: jax.Array, alpha: float = 1.0,
+               gamma: float = 2.0, reduction: str = "mean") -> jax.Array:
+    """Binary focal loss on probabilities (utils/metrics_DC.py:31-63):
+    bce elementwise, pt = exp(-bce), alpha * (1-pt)^gamma * bce."""
+    bce = _bce(pred, target)
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+    if reduction == "mean":
+        return jnp.mean(fl)
+    if reduction == "sum":
+        return jnp.sum(fl)
+    return fl
+
+
+def focal_dice_loss(pred: jax.Array, target: jax.Array, alpha: float = 1.0,
+                    gamma: float = 2.0, ratio: float = 0.3) -> jax.Array:
+    """ratio*focal + (1-ratio)*dice; production training uses ratio=0.3
+    (utils/metrics_DC.py:65-73, train_DC_focal.py:222)."""
+    fl = focal_loss(pred, target, alpha=alpha, gamma=gamma, reduction="mean")
+    dl = dice_loss(pred, target)
+    return ratio * fl + (1.0 - ratio) * dl

@@ -34,19 +34,25 @@ def regionprops_table(labels: jax.Array, max_labels: int) -> Dict[str, jax.Array
     flat = labels.reshape(-1)
     cap = max_labels + 1
 
-    rows = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
-    cols = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
+    # exact int32 sums (H*W <= 2^18, coord sums < 2^31): centroid division
+    # happens in f64 on the host report layer so CSV floats match skimage's
+    # f64 computation bit-for-bit; f32 centroids provided for device users.
+    rows = jnp.arange(h * w, dtype=jnp.int32) // w
+    cols = jnp.arange(h * w, dtype=jnp.int32) % w
     feats = jnp.stack([jnp.ones_like(rows), rows, cols], axis=-1)  # (N, 3)
     sums = jax.ops.segment_sum(feats, flat, num_segments=cap)  # (cap, 3)
 
     area = sums[1:, 0]
-    safe = jnp.maximum(area, 1.0)
+    areaf = area.astype(jnp.float32)
+    safe = jnp.maximum(areaf, 1.0)
     return {
         "label": jnp.arange(1, cap, dtype=jnp.int32),
         "area": area,
-        "equivalent_diameter": jnp.sqrt(4.0 * area / jnp.pi),
-        "centroid-0": sums[1:, 1] / safe,
-        "centroid-1": sums[1:, 2] / safe,
+        "sum-0": sums[1:, 1],
+        "sum-1": sums[1:, 2],
+        "equivalent_diameter": jnp.sqrt(4.0 * areaf / jnp.pi),
+        "centroid-0": sums[1:, 1].astype(jnp.float32) / safe,
+        "centroid-1": sums[1:, 2].astype(jnp.float32) / safe,
     }
 
 

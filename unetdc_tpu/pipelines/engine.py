@@ -1,0 +1,141 @@
+"""The flagship inference engine: one jitted megastep from raw RGB bytes to
+droplet tables, entirely on device.
+
+Reference pipeline (quantify_droplets_batch.py:40-95) round-trips
+host<->device per batch and then runs skimage/OpenCV serially on the host:
+    PIL decode -> cv2 rolling ball -> cv2 resize -> torch forward ->
+    .cpu() -> threshold -> cv2 resize -> skimage label x2 -> regionprops.
+Here everything after decode is a single XLA program:
+    rolling ball (windowed min/max) -> resize (MXU matmuls) -> UNetDC
+    (BN-folded, bf16) -> threshold -> cv2-exact mask resize -> CC labeling
+    (pointer jumping) -> sieve -> regionprops (segment sums).
+Only uint8 images go in and masks + fixed-size property tables come out.
+
+Shapes are static per (batch, input size); the host driver buckets images by
+original size and pads the final partial batch (valid-count masked) so each
+bucket compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unetdc_tpu.models.unet import UNetDC, fold_batchnorm
+from unetdc_tpu.ops.connected_components import label, sieve_small_components
+from unetdc_tpu.ops.regionprops import regionprops_table
+from unetdc_tpu.ops.resize import (
+    resize_linear,
+    resize_linear_u8_cv2exact,
+)
+from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
+from unetdc_tpu.core.mesh import batch_sharding, make_mesh
+
+
+class QuantifyEngine:
+    """Batch segmentation + quantification on TPU.
+
+    Args:
+      variables: model variables ({'params', 'batch_stats'}) of a use_bn
+        UNetDC — BatchNorm is folded once at construction.
+      model_cls: UNetDC (default) or UNet.
+      img_size: network input size (512, quantify_droplets_batch.py:30).
+      compute_dtype: jnp.bfloat16 (TPU fast path) or jnp.float32 (parity).
+      max_labels: per-image component capacity of the property tables.
+      mesh: optional jax.sharding.Mesh for multi-chip batch parallelism.
+    """
+
+    def __init__(self, variables, model_cls=UNetDC, img_size: int = 512,
+                 compute_dtype: Any = jnp.bfloat16, max_labels: int = 4096,
+                 mesh=None):
+        folded = fold_batchnorm(variables)
+        self.model = model_cls(use_bn=False, dtype=compute_dtype)
+        self.img_size = img_size
+        self.max_labels = max_labels
+        self.mesh = mesh
+        self.params = folded
+        if mesh is not None:
+            from unetdc_tpu.core.mesh import replicate
+            self.params = replicate(mesh, folded)
+        # params are traced arguments (NOT closed-over constants) so the
+        # 31M-weight pytree lives in HBM, not in the compiled HLO
+        self._megastep = jax.jit(
+            self._megastep_impl,
+            static_argnames=("out_hw", "background_radius", "apply_bg"))
+        self._forward = jax.jit(
+            lambda params, x: self.model.apply(params, x, train=False))
+
+    # ------------------------------------------------------------------
+    def _megastep_impl(self, params, imgs_u8: jax.Array, thresh: jax.Array,
+                       min_area: jax.Array, out_hw: Tuple[int, int],
+                       background_radius: int, apply_bg: bool
+                       ) -> Dict[str, jax.Array]:
+        """(B, H, W, 3) uint8 -> masks + per-droplet property tables."""
+        size = self.img_size
+
+        def preprocess(img):
+            if apply_bg:
+                img = rolling_ball_correction_rgb(img, background_radius)
+            # reference resize is effectively INTER_LINEAR (see ops.resize);
+            # bit-exact uint8 path so model inputs match the reference's
+            x = jax.vmap(
+                lambda ch: resize_linear_u8_cv2exact(ch, (size, size)),
+                in_axes=-1, out_axes=-1)(img)
+            return x.astype(jnp.float32) / 255.0
+
+        x = jax.vmap(preprocess)(imgs_u8).astype(jnp.float32)
+        probs = self.model.apply(params, x, train=False)  # (B,S,S,1)
+        mask512 = (probs[..., 0] > thresh).astype(jnp.uint8)
+
+        def per_image(m512):
+            m = resize_linear_u8_cv2exact(m512, out_hw)
+            lab, _ = label(m, connectivity=1)
+            lab, n = sieve_small_components(
+                lab, min_area, num_segments=self.max_labels + 1)
+            props = regionprops_table(lab, self.max_labels)
+            return m, n, props
+
+        masks, counts, props = jax.vmap(per_image)(mask512)
+        return {"mask": masks, "count": counts, "props": props,
+                "probs": probs[..., 0]}
+
+    # ------------------------------------------------------------------
+    def run_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
+                  prob_thresh: float = 0.3, min_area: int = 1,
+                  background_radius: int = 50, apply_bg: bool = True
+                  ) -> Dict[str, np.ndarray]:
+        """Host entry: uint8 (B, H, W, 3) -> numpy results dict."""
+        x = jnp.asarray(imgs_u8)
+        if self.mesh is not None:
+            x = jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+        out = self._megastep(
+            self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
+            tuple(out_hw), int(background_radius), bool(apply_bg))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # ------------------------------------------------------------------
+    def forward_probs(self, x_f32: jax.Array) -> jax.Array:
+        """Plain jitted forward on preprocessed (B, S, S, 3) in [0,1] —
+        used by benchmarks and the library API."""
+        return self._forward(self.params, x_f32)
+
+
+def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
+                model_cls=UNetDC, max_labels: int = 4096) -> QuantifyEngine:
+    """Build an engine from a reference .pth or native msgpack checkpoint."""
+    from unetdc_tpu.checkpoint import (
+        load_pth_state_dict, torch_state_dict_to_variables, load_checkpoint)
+
+    if ckpt_path.endswith(".pth"):
+        variables = torch_state_dict_to_variables(
+            load_pth_state_dict(ckpt_path))
+    else:
+        variables = load_checkpoint(ckpt_path)
+    return QuantifyEngine(
+        variables, model_cls=model_cls,
+        compute_dtype=jnp.bfloat16 if fast else jnp.float32,
+        max_labels=max_labels, mesh=mesh)

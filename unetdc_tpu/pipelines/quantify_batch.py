@@ -1,0 +1,219 @@
+"""Host driver for the batch quantification pipeline — produces the exact
+artifact set of the reference CLI (quantify_droplets_batch.py:100-201):
+
+    out_dir/predicted_masks/{stem}_pred.png      mask * 255
+    out_dir/{stem}_droplets.csv                  per-image droplet table
+    out_dir/overlays/{stem}_overlay.png          optional green contours
+    out_dir/summary_per_image.csv                filename,droplet_count,total_area_px
+    out_dir/all_droplets.csv                     concatenated droplet tables
+    out_dir/all_droplets.xlsx | all_droplets_noexcel.csv (fallback)
+    out_dir/droplet_size_stats.csv               mean/median/std of size col
+    out_dir/size_histogram.png                   40-bin histogram, 6x4in @300dpi
+
+CSV schemas and stdout lines are kept stable: the reference GUIs treat the
+CLI's stdout as an API (gui_qt.py:113-116).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+IMG_SUFFIXES = {".png", ".jpg", ".jpeg", ".tif", ".tiff"}
+
+
+def list_images(img_dir: str) -> List[Path]:
+    """Sorted image listing (quantify_droplets_batch.py:143-144)."""
+    return sorted(p for p in Path(img_dir).iterdir()
+                  if p.suffix.lower() in IMG_SUFFIXES)
+
+
+def decode_rgb(path: Path) -> np.ndarray:
+    return np.array(Image.open(path).convert("RGB"))
+
+
+def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
+                       px_per_um: Optional[float]) -> pd.DataFrame:
+    """Slice the fixed-size device property table to a reference-schema
+    droplet DataFrame (label, area, equivalent_diameter, centroid-0/1
+    [, area_sqmicron, eq_diam_micron])."""
+    n = int(count)
+    if n == 0:
+        return pd.DataFrame()
+    area = np.asarray(props["area"][:n], np.int64)
+    # f64 on host from exact integer device sums == skimage's f64 results
+    df = pd.DataFrame({
+        "label": np.asarray(props["label"][:n], np.int64),
+        "area": area,
+        "equivalent_diameter": np.sqrt(4.0 * area.astype(np.float64) / np.pi),
+        "centroid-0": np.asarray(props["sum-0"][:n], np.float64) / area,
+        "centroid-1": np.asarray(props["sum-1"][:n], np.float64) / area,
+    })
+    if px_per_um is not None:
+        df["area_sqmicron"] = df["area"] / (px_per_um ** 2)
+        df["eq_diam_micron"] = df["equivalent_diameter"] / px_per_um
+    return df
+
+
+def draw_overlay(orig_bgr: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Green external contours, thickness 2 (quantify_droplets_batch.py:77-78).
+    Uses cv2 on host (report layer only — device path never needs it)."""
+    import cv2
+
+    cnts, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_EXTERNAL,
+                               cv2.CHAIN_APPROX_SIMPLE)
+    out = orig_bgr.copy()
+    cv2.drawContours(out, cnts, -1, (0, 255, 0), 2)
+    return out
+
+
+class BatchQuantifyPipeline:
+    """Groups images by original size (one compilation per size bucket),
+    pads the trailing partial batch, runs the device megastep, writes
+    reference-format artifacts."""
+
+    def __init__(self, engine: QuantifyEngine, out_dir: str,
+                 batch: int = 8, prob_thresh: float = 0.3, min_area: int = 1,
+                 px_per_micron: Optional[float] = None,
+                 save_overlays: bool = False, background_radius: int = 50):
+        self.engine = engine
+        self.out_dir = Path(out_dir)
+        self.mask_dir = self.out_dir / "predicted_masks"
+        self.overlay_dir = self.out_dir / "overlays" if save_overlays else None
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.mask_dir.mkdir(exist_ok=True)
+        if self.overlay_dir:
+            self.overlay_dir.mkdir(exist_ok=True)
+        self.batch = batch
+        self.prob_thresh = prob_thresh
+        self.min_area = min_area
+        self.px_per_micron = px_per_micron
+        self.background_radius = background_radius
+        self.per_image_rows: List[dict] = []
+        self.all_props: List[pd.DataFrame] = []
+
+    # --------------------------------------------------------------
+    def _flush(self, imgs: List[np.ndarray], paths: List[Path],
+               size_hw: Tuple[int, int]):
+        n_valid = len(imgs)
+        if n_valid == 0:
+            return
+        # pad to full batch so every bucket reuses one compiled program
+        while len(imgs) < self.batch:
+            imgs.append(np.zeros_like(imgs[0]))
+        out = self.engine.run_batch(
+            np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
+            self.background_radius)
+        for i in range(n_valid):
+            fpath = paths[i]
+            name = fpath.stem
+            mask = out["mask"][i]
+            Image.fromarray(mask * 255).save(
+                self.mask_dir / f"{name}_pred.png")
+            props_i = {k: v[i] for k, v in out["props"].items()}
+            df = props_to_dataframe(props_i, out["count"][i],
+                                    self.px_per_micron)
+            df.insert(0, "filename", fpath.name)
+            df.to_csv(self.out_dir / f"{name}_droplets.csv", index=False)
+            self.all_props.append(df)
+            self.per_image_rows.append({
+                "filename": fpath.name,
+                "droplet_count": len(df),
+                "total_area_px": int(df["area"].sum()) if not df.empty else 0,
+            })
+            if self.overlay_dir is not None:
+                import cv2
+
+                img = cv2.imread(str(fpath))
+                if img is not None:
+                    cv2.imwrite(str(self.overlay_dir / f"{name}_overlay.png"),
+                                draw_overlay(img, mask))
+
+    # --------------------------------------------------------------
+    def run(self, img_dir: str, progress: bool = True):
+        images = list_images(img_dir)
+        if progress:
+            try:
+                from tqdm import tqdm
+                images_iter = tqdm(images, desc="Inference")
+            except ImportError:  # pragma: no cover
+                images_iter = images
+        else:
+            images_iter = images
+
+        pend_imgs: List[np.ndarray] = []
+        pend_paths: List[Path] = []
+        pend_size: Optional[Tuple[int, int]] = None
+        for p in images_iter:
+            arr = decode_rgb(p)
+            hw = arr.shape[:2]
+            if pend_size is not None and (hw != pend_size or
+                                          len(pend_imgs) == self.batch):
+                self._flush(pend_imgs, pend_paths, pend_size)
+                pend_imgs, pend_paths = [], []
+            pend_size = hw
+            pend_imgs.append(arr)
+            pend_paths.append(p)
+            if len(pend_imgs) == self.batch:
+                self._flush(pend_imgs, pend_paths, pend_size)
+                pend_imgs, pend_paths = [], []
+        if pend_imgs:
+            self._flush(pend_imgs, pend_paths, pend_size)
+        return self
+
+    # --------------------------------------------------------------
+    def write_reports(self, skip_excel: bool = False,
+                      skip_histogram: bool = False):
+        """Master CSV/Excel + size stats + histogram
+        (quantify_droplets_batch.py:162-199)."""
+        out_dir = self.out_dir
+        summary_df = pd.DataFrame(self.per_image_rows)
+        summary_df.to_csv(out_dir / "summary_per_image.csv", index=False)
+        if not self.all_props:
+            return
+        combined = pd.concat(self.all_props, ignore_index=True)
+        combined.to_csv(out_dir / "all_droplets.csv", index=False)
+
+        if not skip_excel:
+            try:
+                import xlsxwriter  # noqa: F401
+                with pd.ExcelWriter(out_dir / "all_droplets.xlsx",
+                                    engine="xlsxwriter") as xw:
+                    combined.to_excel(xw, index=False, sheet_name="droplets")
+                    summary_df.to_excel(xw, index=False,
+                                        sheet_name="per_image")
+            except (ImportError, AttributeError):
+                combined.to_csv(out_dir / "all_droplets_noexcel.csv",
+                                index=False)
+                print("⚠️  Skipped Excel file; install 'xlsxwriter<3.1.0' or "
+                      "use Python ≥3.7 if you need .xlsx output.")
+
+        if combined.empty:
+            return
+        size_col = ("eq_diam_micron" if "eq_diam_micron" in combined.columns
+                    else "equivalent_diameter")
+        stats = combined[size_col].describe()[["mean", "50%", "std"]].rename(
+            {"50%": "median"})
+        stats.to_csv(out_dir / "droplet_size_stats.csv")
+
+        if not skip_histogram:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure(figsize=(6, 4))
+            plt.hist(combined[size_col], bins=40)
+            plt.xlabel("Diameter (µm)" if "micron" in size_col
+                       else "Diameter (pixels)")
+            plt.ylabel("Count")
+            plt.title("Droplet size distribution")
+            plt.tight_layout()
+            plt.savefig(out_dir / "size_histogram.png", dpi=300)
+            plt.close()
