@@ -1,0 +1,76 @@
+"""Flagship benchmark: end-to-end 512x512 batch quantification throughput on
+one TPU chip — rolling-ball background correction + resize + UNetDC (bf16,
+BN-folded) + threshold + mask resize + connected components + regionprops,
+with results fetched to host each step (the realistic pipeline contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": x}
+
+vs_baseline compares against the reference PyTorch pipeline measured on this
+machine's CPU (BASELINE_MEASURED.json; quantify_droplets_batch.py semantics).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_blob_images(n, h, w, seed=0):
+    """Synthetic microscopy-like images: dark field + bright droplets."""
+    rng = np.random.RandomState(seed)
+    imgs = np.empty((n, h, w, 3), np.uint8)
+    yy, xx = np.mgrid[:h, :w]
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
+        for _ in range(40):
+            cy, cx = rng.randint(10, h - 10), rng.randint(10, w - 10)
+            r = rng.randint(3, 12)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+            img[blob] = np.minimum(img[blob] + 180, 255)
+        imgs[i] = img
+    return imgs
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unetdc_tpu.models.unet import UNetDC, init_params
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    BATCH = 8
+    SIZE = 512
+
+    model = UNetDC()
+    variables = init_params(model, jax.random.PRNGKey(0),
+                            input_shape=(1, 64, 64, 3))
+    engine = QuantifyEngine(variables, compute_dtype=jnp.bfloat16)
+
+    imgs = make_blob_images(BATCH, SIZE, SIZE)
+
+    # warmup / compile
+    engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3, min_area=1)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3,
+                               min_area=1)
+    t1 = time.perf_counter()
+    img_per_s = BATCH * iters / (t1 - t0)
+
+    with open("BASELINE_MEASURED.json") as f:
+        base = json.load(f)["reference_e2e_512_img_per_s"]
+
+    print(json.dumps({
+        "metric": "512x512 end-to-end batch quantification throughput "
+                  "(rolling ball + UNetDC + CC + regionprops), 1 chip",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

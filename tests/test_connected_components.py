@@ -109,6 +109,39 @@ def test_centroid_size_image(rng):
     np.testing.assert_array_equal(img, expected)
 
 
+def test_quantify_mask_matches_reference_semantics(rng):
+    """Fused label->sieve->relabel->props path vs direct numpy port of
+    quantify_droplets_batch.py:81-95."""
+    from unetdc_tpu.ops.connected_components import quantify_mask
+
+    m = _random_mask(rng, (64, 96), 0.35)
+    min_area = 4
+    stats = {k: np.asarray(v) for k, v in
+             quantify_mask(jnp.asarray(m), jnp.int32(min_area), 2048).items()}
+
+    ref, n0 = ndi.label(m, structure=STRUCT_4)
+    assert int(stats["total"]) == n0
+    for lv in np.unique(ref):
+        if lv and (ref == lv).sum() < min_area:
+            ref[ref == lv] = 0
+    ref2, n2 = ndi.label(ref > 0, structure=STRUCT_4)
+    assert int(stats["count"]) == n2
+    for k in range(1, n2 + 1):
+        ys, xs = np.where(ref2 == k)
+        assert stats["area"][k - 1] == len(ys)
+        assert stats["sum-0"][k - 1] == ys.sum()
+        assert stats["sum-1"][k - 1] == xs.sum()
+    assert np.all(stats["area"][n2:] == 0)
+
+
+def test_quantify_mask_empty():
+    from unetdc_tpu.ops.connected_components import quantify_mask
+
+    z = jnp.zeros((32, 32), jnp.uint8)
+    stats = quantify_mask(z, jnp.int32(1), 64)
+    assert int(stats["count"]) == 0 and int(stats["total"]) == 0
+
+
 def test_component_areas(rng):
     m = _random_mask(rng, (40, 40), 0.4)
     lab, n = label(jnp.asarray(m))

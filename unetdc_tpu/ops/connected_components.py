@@ -4,19 +4,24 @@ Replaces the reference's host-side `skimage.measure.label`
 (quantify_droplets_batch.py:82,86; algorithms.py:174) with a fully jittable
 device algorithm, so the mask->droplet-table stage never leaves HBM.
 
-Algorithm: min-label propagation with pointer jumping.
-  1. Every pixel starts labeled with its own flat raster index.
-  2. Each iteration, every foreground pixel takes the min label over itself
-     and its foreground neighbors (4- or 8-connectivity) — pure VPU shifts.
-  3. Two pointer-jumping steps (L <- L[L], a flat gather) per iteration
-     collapse label chains toward component roots, giving roughly
-     O(log diameter) convergence instead of O(diameter).
-  4. `lax.while_loop` runs until a fixed point.
+Algorithm: iterative min-root propagation using SEGMENTED SCANS rather than
+gathers — TPU random-access gathers over a 262k-element image are an order
+of magnitude slower than vectorized scans, so classic pointer-jumping
+union-find is the wrong shape for this hardware. Each sweep:
 
-The component root is the *minimum* flat index == the first component pixel
-in raster order, so ranking roots ascending reproduces skimage/scipy label
-ordering exactly (labels 1..n assigned in raster order of first pixel) —
-this is what makes the droplet CSV `label` column match the reference.
+  1. forward + backward segmented min-scan along rows (every maximal
+     horizontal run of foreground takes its run-minimum in one pass), then
+  2. the same along columns,
+  3. (8-connectivity only) four diagonal shifted mins.
+
+A sweep moves information across entire straight runs at once, so blob-like
+droplet masks converge in 2-4 sweeps (`lax.while_loop` until fixpoint;
+serpentine worst cases just iterate more). The component root is the minimum
+flat index == first pixel in raster order, so ranking roots by a 2D cumsum
+reproduces skimage/scipy label ordering exactly (labels 1..n assigned in
+raster order of first pixel) — this makes the droplet CSV `label` column
+match the reference. Consecutive per-pixel labels come from a second
+max-propagation of the rank image (again scans — no sort, no gather).
 
 All shapes are static; batching via `jax.vmap` (the while_loop then runs
 until every image in the batch converges).
@@ -31,57 +36,107 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_OFFSETS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
-_OFFSETS_8 = _OFFSETS_4 + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+_DIAGONALS = ((-1, -1), (-1, 1), (1, -1), (1, 1))
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
-    """shifted[y, x] = x[y+dy, x+dx] with `fill` outside bounds."""
-    h, w = x.shape
+    """shifted[..., y, x] = x[..., y+dy, x+dx] with `fill` outside bounds.
+    Operates on the last two dims (leading dims batch)."""
+    h, w = x.shape[-2:]
     pt, pb = max(-dy, 0), max(dy, 0)
     plf, prt = max(-dx, 0), max(dx, 0)
-    padded = jnp.pad(x, ((pt, pb), (plf, prt)), constant_values=fill)
-    # padded[i, j] = x[i - pt, j - plf]; x[y+dy, x+dx] = padded[y+dy+pt, x+dx+plf]
-    return padded[dy + pt: dy + pt + h, dx + plf: dx + plf + w]
+    pad = [(0, 0)] * (x.ndim - 2) + [(pt, pb), (plf, prt)]
+    padded = jnp.pad(x, pad, constant_values=fill)
+    return padded[..., dy + pt: dy + pt + h, dx + plf: dx + plf + w]
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "jump_steps"))
-def _label_flat(mask: jax.Array, connectivity: int = 1, jump_steps: int = 2
-                ) -> jax.Array:
-    """Root labels: each fg pixel -> min flat index of its component;
-    bg pixels -> own flat index."""
-    h, w = mask.shape
-    n = h * w
-    fg = mask.astype(bool)
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    big = jnp.int32(n)
-    offsets = _OFFSETS_4 if connectivity == 1 else _OFFSETS_8
+def _shift1d(x: jax.Array, d: int, axis: int, fill) -> jax.Array:
+    """shifted[..., i, ...] = x[..., i+d, ...] along `axis` (negative from
+    the end), `fill` outside."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (max(-d, 0), max(d, 0))
+    padded = jnp.pad(x, pad, constant_values=fill)
+    start = d + max(-d, 0)
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + n)
+    return padded[tuple(idx)]
 
-    def neighbor_min(lab):
-        masked = jnp.where(fg, lab, big)
-        m = masked
-        for dy, dx in offsets:
-            m = jnp.minimum(m, _shift(masked, dy, dx, big))
-        return jnp.where(fg, jnp.minimum(lab, m), lab)
 
-    def pointer_jump(lab):
-        flat = lab.reshape(-1)
-        for _ in range(jump_steps):
-            flat = flat[flat]
-        return flat.reshape(h, w)
+def _seg_scan(v: jax.Array, fg: jax.Array, identity, axis: int,
+              reverse: bool, is_min: bool) -> jax.Array:
+    """Segmented min/max scan along `axis`: prefix-reduce within contiguous
+    foreground runs; background resets the segment. Hand-rolled
+    Hillis-Steele doubling — lax.associative_scan generates a much larger
+    HLO graph that blows up compile time inside batched while_loops.
 
+    Monoid: elements (value, p) with p = 'window contains no reset';
+    combine((av,ap),(bv,bp)) = (bp ? comb(av,bv) : bv, ap & bp); identity is
+    (`identity`, True), and shifting in (identity, False) is equivalent once
+    a window crosses the array edge (value already covers the full run)."""
+    comb = jnp.minimum if is_min else jnp.maximum
+    n = v.shape[axis]
+    p = fg
+    d = 1
+    sgn = 1 if reverse else -1  # pull from the right when reversed
+    while d < n:
+        vs = _shift1d(v, sgn * d, axis, identity)
+        ps = _shift1d(p, sgn * d, axis, False)
+        v = jnp.where(p, comb(v, vs), v)
+        p = p & ps
+        d *= 2
+    return v
+
+
+def _sweep(lab: jax.Array, fg: jax.Array, fill, connectivity: int,
+           is_min: bool) -> jax.Array:
+    """One propagation sweep (see module docstring)."""
+    v = jnp.where(fg, lab, fill)
+    for axis in (-1, -2):
+        v = _seg_scan(v, fg, fill, axis, False, is_min)
+        v = _seg_scan(v, fg, fill, axis, True, is_min)
+    if connectivity == 2:
+        comb = jnp.minimum if is_min else jnp.maximum
+        m = jnp.where(fg, v, fill)
+        for dy, dx in _DIAGONALS:
+            v = comb(v, _shift(m, dy, dx, fill))
+    return jnp.where(fg, v, lab)
+
+
+def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
+               is_min: bool) -> jax.Array:
+    """Run sweeps to fixpoint. Batched: operates on (..., H, W)."""
     def body(state):
         lab, _ = state
-        new = pointer_jump(neighbor_min(lab))
+        new = _sweep(lab, fg, fill, connectivity, is_min)
         return new, jnp.any(new != lab)
 
-    lab0 = idx
-    lab, _ = lax.while_loop(lambda s: s[1], body, (lab0, jnp.bool_(True)))
+    lab, _ = lax.while_loop(lambda s: s[1], body, (init, jnp.bool_(True)))
     return lab
 
 
+def _cumsum2d(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum over the flattened (H, W) array, computed as
+    row-cumsums + row-offsets (fast TPU shape; a flat 262k cumsum is slow)."""
+    cs = jnp.cumsum(x, axis=1)
+    tot = cs[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return cs + offs[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity",))
-def label(mask: jax.Array, connectivity: int = 1) -> Tuple[jax.Array, jax.Array]:
+def propagate_roots(mask: jax.Array, connectivity: int = 1) -> jax.Array:
+    """Min flat-index of each pixel's component (bg pixels keep own index)."""
+    h, w = mask.shape
+    fg = mask.astype(bool)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    big = jnp.int32(h * w)
+    return _propagate(idx, fg, big, connectivity, is_min=True)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def label(mask: jax.Array, connectivity: int = 1
+          ) -> Tuple[jax.Array, jax.Array]:
     """Label connected components of a 2D binary mask.
 
     Args:
@@ -95,18 +150,16 @@ def label(mask: jax.Array, connectivity: int = 1) -> Tuple[jax.Array, jax.Array]
       n is the int32 component count.
     """
     h, w = mask.shape
-    n_pix = h * w
     fg = mask.astype(bool)
-    roots = _label_flat(mask, connectivity=connectivity)
-    flat_roots = roots.reshape(-1)
-    flat_fg = fg.reshape(-1)
-    idx = jnp.arange(n_pix, dtype=jnp.int32)
-    is_root = flat_fg & (flat_roots == idx)
-    # ascending root indices, non-roots pushed to the end with sentinel
-    root_sorted = jnp.sort(jnp.where(is_root, idx, jnp.int32(n_pix)))
-    lab = jnp.searchsorted(root_sorted, flat_roots).astype(jnp.int32) + 1
-    lab = jnp.where(flat_fg, lab, 0)
-    return lab.reshape(h, w), is_root.sum().astype(jnp.int32)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    roots = propagate_roots(mask, connectivity)
+    is_root = fg & (roots == idx)
+    rank = _cumsum2d(is_root.astype(jnp.int32))  # at a root: its 1-based label
+    rank_img = jnp.where(is_root, rank, 0)
+    labels = _propagate(rank_img, fg, jnp.int32(0), connectivity,
+                        is_min=False)
+    labels = jnp.where(fg, labels, 0)
+    return labels, is_root.sum().astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -133,3 +186,77 @@ def sieve_small_components(
     keep = keep.at[0].set(False)
     new_ids = jnp.cumsum(keep.astype(jnp.int32)) * keep
     return new_ids[labels], keep.sum().astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels", "connectivity"))
+def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
+                        max_labels: int, connectivity: int = 1):
+    """Batched `quantify_mask`: the propagation while_loop runs natively on
+    (B, H, W) — compiling it once for the batch instead of per-vmap-instance
+    keeps XLA compile time linear — and the cheap per-image table math is
+    vmapped over precomputed roots."""
+    b, h, w = masks.shape
+    fg = masks.astype(bool)
+    idx = jnp.broadcast_to(
+        jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
+    big = jnp.int32(h * w)
+    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    return jax.vmap(
+        lambda m, r: _quantify_from_roots(m, r, min_area, max_labels)
+    )(masks, roots)
+
+
+def _quantify_from_roots(mask, roots, min_area, max_labels):
+    h, w = mask.shape
+    n_pix = h * w
+    cap = max_labels + 1
+    fg = mask.astype(bool)
+    idx = jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w)
+    is_root = fg & (roots == idx)
+    n_total = is_root.sum().astype(jnp.int32)
+    rank = _cumsum2d(is_root.astype(jnp.int32))
+
+    keys = jnp.where(fg, roots, n_pix).reshape(-1)
+    rows = jnp.arange(n_pix, dtype=jnp.int32) // w
+    cols = jnp.arange(n_pix, dtype=jnp.int32) % w
+    feats = jnp.stack([jnp.ones_like(rows), rows, cols], axis=-1)
+    sums = jax.ops.segment_sum(feats, keys, num_segments=n_pix + 1)
+
+    slot = jnp.where(is_root & (rank <= max_labels), rank, 0).reshape(-1)
+    compact_root = jnp.zeros(cap, jnp.int32).at[slot].set(
+        jnp.where(slot > 0, idx.reshape(-1), 0))
+    csums = sums[compact_root]
+    slot_valid = (jnp.arange(cap) >= 1) & (jnp.arange(cap) <= n_total)
+    area = jnp.where(slot_valid, csums[:, 0], 0)
+
+    keep = slot_valid & (area >= min_area)
+    new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
+    out = jnp.zeros((cap, 3), jnp.int32).at[new_label].set(
+        jnp.where(keep[:, None], csums, 0))
+    return {
+        "count": keep.sum().astype(jnp.int32),
+        "total": n_total,
+        "area": out[1:, 0],
+        "sum-0": out[1:, 1],
+        "sum-1": out[1:, 2],
+    }
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_labels", "connectivity"))
+def quantify_mask(mask: jax.Array, min_area: jax.Array, max_labels: int,
+                  connectivity: int = 1):
+    """Fused component statistics WITHOUT materializing a label image — the
+    flagship quantification path (reference semantics of
+    quantify_droplets_batch.py:81-95: label -> drop area<min_area ->
+    relabel -> area/centroid table in raster order).
+
+    Per-pixel work stays in scans/scatters; per-component work happens in
+    compact (max_labels+1,) arrays. Returns dict with:
+      'count': int32 number of surviving components (<= max_labels)
+      'total': int32 number of components before the sieve (overflow check)
+      'area', 'sum-0', 'sum-1': (max_labels,) int32 tables, entries [0:count)
+        = kept components in raster order (label k = index k-1).
+    """
+    roots = propagate_roots(mask, connectivity)
+    return _quantify_from_roots(mask, roots, min_area, max_labels)

@@ -26,14 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from unetdc_tpu.models.unet import UNetDC, fold_batchnorm
-from unetdc_tpu.ops.connected_components import label, sieve_small_components
-from unetdc_tpu.ops.regionprops import regionprops_table
-from unetdc_tpu.ops.resize import (
-    resize_linear,
-    resize_linear_u8_cv2exact,
-)
+from unetdc_tpu.ops.connected_components import quantify_mask_batch
+from unetdc_tpu.ops.resize import resize_linear_u8_cv2exact
 from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
-from unetdc_tpu.core.mesh import batch_sharding, make_mesh
+from unetdc_tpu.core.mesh import batch_sharding
 
 
 class QuantifyEngine:
@@ -91,17 +87,16 @@ class QuantifyEngine:
         probs = self.model.apply(params, x, train=False)  # (B,S,S,1)
         mask512 = (probs[..., 0] > thresh).astype(jnp.uint8)
 
-        def per_image(m512):
-            m = resize_linear_u8_cv2exact(m512, out_hw)
-            lab, _ = label(m, connectivity=1)
-            lab, n = sieve_small_components(
-                lab, min_area, num_segments=self.max_labels + 1)
-            props = regionprops_table(lab, self.max_labels)
-            return m, n, props
-
-        masks, counts, props = jax.vmap(per_image)(mask512)
-        return {"mask": masks, "count": counts, "props": props,
-                "probs": probs[..., 0]}
+        masks = jax.vmap(
+            lambda m512: resize_linear_u8_cv2exact(m512, out_hw))(mask512)
+        stats = quantify_mask_batch(masks, min_area, self.max_labels,
+                                    connectivity=1)
+        # pack masks to bits: device->host links are the pipeline's
+        # scarcest resource; host unpacks with np.unpackbits
+        packed = jax.vmap(lambda m: jnp.packbits(m.reshape(-1)))(masks)
+        return {"mask_bits": packed, "count": stats["count"],
+                "total": stats["total"], "area": stats["area"],
+                "sum-0": stats["sum-0"], "sum-1": stats["sum-1"]}
 
     # ------------------------------------------------------------------
     def run_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
@@ -115,7 +110,17 @@ class QuantifyEngine:
         out = self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
-        return jax.tree_util.tree_map(np.asarray, out)
+        host = jax.tree_util.tree_map(np.asarray, out)
+        if int(host["total"].max()) > self.max_labels:
+            raise RuntimeError(
+                f"image has {int(host['total'].max())} components, exceeding "
+                f"max_labels={self.max_labels}; rebuild the engine with a "
+                "larger max_labels")
+        b = host["mask_bits"].shape[0]
+        oh, ow = out_hw
+        host["mask"] = np.unpackbits(
+            host.pop("mask_bits"), axis=-1)[:, :oh * ow].reshape(b, oh, ow)
+        return host
 
     # ------------------------------------------------------------------
     def forward_probs(self, x_f32: jax.Array) -> jax.Array:

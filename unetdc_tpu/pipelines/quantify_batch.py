@@ -50,7 +50,7 @@ def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
     area = np.asarray(props["area"][:n], np.int64)
     # f64 on host from exact integer device sums == skimage's f64 results
     df = pd.DataFrame({
-        "label": np.asarray(props["label"][:n], np.int64),
+        "label": np.arange(1, n + 1, dtype=np.int64),
         "area": area,
         "equivalent_diameter": np.sqrt(4.0 * area.astype(np.float64) / np.pi),
         "centroid-0": np.asarray(props["sum-0"][:n], np.float64) / area,
@@ -117,7 +117,7 @@ class BatchQuantifyPipeline:
             mask = out["mask"][i]
             Image.fromarray(mask * 255).save(
                 self.mask_dir / f"{name}_pred.png")
-            props_i = {k: v[i] for k, v in out["props"].items()}
+            props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)
