@@ -1,0 +1,158 @@
+"""Training subsystem tests: exact split semantics, augmentations,
+diff maps, and an end-to-end smoke train run on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_split_matches_sklearn_reference():
+    """60/20/20 via two train_test_split(random_state=42) calls
+    (train_DC_focal.py:155-175)."""
+    from sklearn.model_selection import train_test_split
+    from unetdc_tpu.data.dataset import split_dataset
+
+    names = [f"img{i:03d}.png" for i in range(50)]
+    (tr, trm), (va, vam), (te, tem) = split_dataset(names, names)
+    pairs = list(zip(names, names))
+    tv_ref, te_ref = train_test_split(pairs, test_size=0.2, random_state=42)
+    tr_ref, va_ref = train_test_split(tv_ref, test_size=0.25, random_state=42)
+    assert tr == [p[0] for p in tr_ref]
+    assert va == [p[0] for p in va_ref]
+    assert te == [p[0] for p in te_ref]
+    assert len(tr) + len(va) + len(te) == 50
+
+
+def test_augment_deterministic_and_shapes(rng):
+    from unetdc_tpu.data.augment import augment_batch
+
+    imgs = jnp.asarray(rng.rand(4, 64, 64, 3), jnp.float32)
+    masks = jnp.asarray((rng.rand(4, 64, 64) > 0.5), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    i1, m1 = augment_batch(key, imgs, masks)
+    i2, m2 = augment_batch(key, imgs, masks)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert i1.shape == imgs.shape and m1.shape == masks.shape
+    # masks stay binary through flips/rot90/nearest-remap
+    assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
+    # a different key gives different output
+    i3, _ = augment_batch(jax.random.PRNGKey(8), imgs, masks)
+    assert not np.array_equal(np.asarray(i1), np.asarray(i3))
+
+
+def test_hflip_applies(rng):
+    """With p=1 the flip must be exact."""
+    from unetdc_tpu.data.augment import augment_batch
+
+    imgs = jnp.asarray(rng.rand(2, 16, 16, 3), jnp.float32)
+    masks = jnp.zeros((2, 16, 16), jnp.float32)
+    i1, _ = augment_batch(jax.random.PRNGKey(0), imgs, masks,
+                          p_hflip=1.0, p_vflip=0.0, p_rot90=0.0, p_bc=0.0,
+                          p_elastic=0.0)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(imgs)[:, :, ::-1])
+
+
+def test_diffmap_and_counts(rng):
+    from unetdc_tpu.ops.diffmap import (create_difference_map,
+                                        overlay_difference,
+                                        count_color_regions)
+
+    t = np.zeros((32, 32), np.uint8)
+    p = np.zeros((32, 32), np.uint8)
+    t[2:6, 2:6] = 1          # FN block
+    p[10:14, 10:14] = 1      # FP block
+    t[20:24, 20:24] = 1      # TP block
+    p[20:24, 20:24] = 1
+    d = np.asarray(create_difference_map(jnp.asarray(t), jnp.asarray(p)))
+    assert tuple(d[3, 3]) == (255, 0, 0)
+    assert tuple(d[11, 11]) == (0, 255, 0)
+    assert tuple(d[21, 21]) == (255, 255, 0)
+    assert tuple(d[0, 0]) == (0, 0, 0)
+    counts = count_color_regions(jnp.asarray(d))
+    assert counts["red_blobs"] == 1
+    assert counts["green_blobs"] == 1
+    assert counts["yellow_blobs"] == 1
+    assert counts["black_blobs"] == 1
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    ov = np.asarray(overlay_difference(jnp.asarray(img), jnp.asarray(d)))
+    np.testing.assert_array_equal(ov[3, 3], (255, 0, 0))
+    np.testing.assert_array_equal(ov[0, 0], img[0, 0])
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img_dir = tmp_path / "images"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    for i in range(6):
+        img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        mask = ((rng.rand(40, 40) > 0.6) * 255).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"s{i}.png")
+        Image.fromarray(mask).save(mask_dir / f"s{i}.png")
+    return str(img_dir), str(mask_dir)
+
+
+def test_trainer_smoke(tiny_dataset, tmp_path, monkeypatch):
+    """Two epochs on tiny data: loss finite, checkpoint written, stdout
+    format matches the reference pattern."""
+    import re
+
+    from unetdc_tpu.data.dataset import (SegmentationData, discover_pairs,
+                                         split_dataset)
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    ckpt = tmp_path / "best.msgpack"
+    cfg = TrainConfig(model="unetdc", loss="focal_dice", num_epochs=2,
+                      patience=5, batch_size=2, img_size=32,
+                      ckpt_path=str(ckpt), compute_dtype="f32",
+                      background_radius=10, augment=True)
+    trainer = Trainer(cfg)
+    data = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2,
+                            shuffle=True)
+    val = SegmentationData(img_dir, mask_dir, images[:2], masks[:2],
+                           batch_size=2)
+
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hist = trainer.fit(data, val)
+    out = buf.getvalue()
+    assert re.search(r"Epoch 1/2 \| Train Loss: \d+\.\d{4}, "
+                     r"Val Loss: \d+\.\d{4}", out), out
+    assert "Model saved!" in out
+    assert ckpt.exists()
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    # dice improves or at least is a number in [0, 1]
+    assert 0.0 <= hist["val_dice"][-1] <= 1.0
+
+    trainer.plot_curves(str(tmp_path / "curves.png"),
+                        str(tmp_path / "acc.png"))
+    assert (tmp_path / "curves.png").exists()
+
+
+def test_prefetcher_propagates_and_orders():
+    from unetdc_tpu.data.dataset import Prefetcher
+
+    items = list(Prefetcher(iter(range(10))))
+    assert items == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("decode failed")
+
+    with pytest.raises(ValueError):
+        list(Prefetcher(boom()))

@@ -1,0 +1,341 @@
+"""TPU-native training loop reproducing the reference trainers.
+
+Reference behaviors reproduced (train_DC_focal.py / train.py):
+  - Adam lr=1e-3 (torch defaults: b1=.9, b2=.999, eps=1e-8)
+  - focal_dice_loss(alpha=1, gamma=2, ratio=0.3) for the DC-focal config
+    (train_DC_focal.py:222) or combined_loss for the baseline (train.py:124)
+  - per-step metrics: loss, hard dice of masks binarized at 0.3
+    (dice_coef then re-binarizes at 0.5 — same thing on binary input),
+    pixel accuracy — all computed ON DEVICE here (the reference pulls every
+    batch to host numpy, its throughput sin, train_DC_focal.py:266-269)
+  - per-epoch stdout lines in the exact reference format
+    (train_DC_focal.py:342-346) — the GUI treats stdout as an API
+  - best-val-dice checkpointing + early-stop patience
+    (train_DC_focal.py:348-358)
+  - a ReduceLROnPlateau scheduler exists in the reference but
+    scheduler.step() is never called (train.py:126, train_DC_focal.py:225),
+    so the effective LR is constant; we default to constant and expose
+    `plateau_scheduler=True` as an opt-in fix.
+  - optional saving of validation/test predicted masks resized to original
+    size (the reference saves only the last val batch due to an indentation
+    bug, train_DC_focal.py:313-331; we save all and note the difference)
+
+TPU design: one jitted train step (donated params/opt state), device
+preprocessing (rolling ball + resize) fused into the step, data-parallel +
+spatial sharding over an optional mesh, host only decodes PNGs and logs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from unetdc_tpu.checkpoint.native import save_checkpoint
+from unetdc_tpu.data.augment import augment_batch
+from unetdc_tpu.data.dataset import Prefetcher, SegmentationData
+from unetdc_tpu.losses import (combined_loss, confusion_counts, dice_coef,
+                               focal_dice_loss)
+from unetdc_tpu.models.unet import UNet, UNetDC, init_params
+from unetdc_tpu.ops.resize import resize_linear_u8_cv2exact, resize_nearest
+from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "unetdc"               # 'unet' | 'unetdc'
+    loss: str = "focal_dice"            # 'focal_dice' | 'combined'
+    focal_ratio: float = 0.3
+    lr: float = 1e-3
+    num_epochs: int = 15                # train_DC_focal.py:220
+    patience: int = 5                   # train_DC_focal.py:230
+    batch_size: int = 8
+    img_size: int = 512
+    metric_thresh: float = 0.3          # train_DC_focal.py:259
+    background_radius: int = 50
+    seed: int = 0
+    ckpt_path: str = "best_UNetDC_focal_model.msgpack"
+    export_pth: Optional[str] = None    # also write a torch-format .pth
+    save_val_masks_dir: Optional[str] = None
+    plateau_scheduler: bool = False     # reference never steps its scheduler
+    compute_dtype: str = "bf16"
+    augment: bool = True
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, mesh=None):
+        self.cfg = config
+        self.mesh = mesh
+        model_cls = UNetDC if config.model == "unetdc" else UNet
+        dtype = jnp.bfloat16 if config.compute_dtype == "bf16" else jnp.float32
+        self.model = model_cls(dtype=dtype)
+        self.variables = init_params(
+            self.model, jax.random.PRNGKey(config.seed),
+            input_shape=(1, 64, 64, 3))
+        if config.plateau_scheduler:
+            self._lr = optax.inject_hyperparams(optax.adam)(
+                learning_rate=config.lr)
+            self.tx = self._lr
+        else:
+            self.tx = optax.adam(config.lr)
+        self.opt_state = self.tx.init(self.variables["params"])
+        if config.loss == "focal_dice":
+            self.loss_fn = lambda p, t: focal_dice_loss(
+                p, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio)
+        else:
+            self.loss_fn = combined_loss
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._preprocess = jax.jit(
+            self._preprocess_impl,
+            static_argnames=("background_radius", "apply_bg"))
+        self.history: Dict[str, List[float]] = {
+            k: [] for k in ("train_loss", "val_loss", "train_dice",
+                            "val_dice", "train_acc", "val_acc")}
+
+    # ------------------------------------------------------------------
+    def _preprocess_impl(self, imgs_u8, masks_u8, background_radius: int,
+                         apply_bg: bool):
+        """Device preprocessing, SegmentationDataset semantics
+        (utils/data_loader.py:41-68): rolling ball at original size, resize
+        512 (LINEAR image / NEAREST mask, albumentations A.Resize), /255."""
+        size = self.cfg.img_size
+
+        def one(img, mask):
+            if apply_bg:
+                img = rolling_ball_correction_rgb(img, background_radius)
+            x = jax.vmap(lambda ch: resize_linear_u8_cv2exact(
+                ch, (size, size)), in_axes=-1, out_axes=-1)(img)
+            m = resize_nearest(mask, (size, size))
+            return x.astype(jnp.float32) / 255.0, m.astype(jnp.float32)
+
+        return jax.vmap(one)(imgs_u8, masks_u8)
+
+    # ------------------------------------------------------------------
+    def _metrics(self, probs, masks):
+        thresh = self.cfg.metric_thresh
+        pred = (probs > thresh).astype(jnp.float32)
+        dice = dice_coef(masks, pred)
+        acc_correct = jnp.sum((pred == masks))
+        return dice, acc_correct
+
+    def _train_step_impl(self, params, batch_stats, opt_state, images, masks):
+        def loss_of(p):
+            probs, mutated = self.model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"])
+            return self.loss_fn(probs, masks), (probs, mutated["batch_stats"])
+
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        dice, correct = self._metrics(probs, masks)
+        return params, new_stats, opt_state, loss, dice, correct
+
+    def _eval_step_impl(self, params, batch_stats, images, masks):
+        probs = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=False)
+        loss = self.loss_fn(probs, masks)
+        dice, correct = self._metrics(probs, masks)
+        counts = confusion_counts(masks, probs, self.cfg.metric_thresh)
+        return probs, loss, dice, correct, counts
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch):
+        imgs = jnp.asarray(batch["images"])
+        masks = jnp.asarray(batch["masks"])
+        x, m = self._preprocess(imgs, masks, self.cfg.background_radius, True)
+        return x, m[..., None]  # mask channel dim (utils/data_loader.py:66-68)
+
+    def run_epoch_train(self, data: SegmentationData, epoch: int):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed * 1000 + epoch)
+        tot_loss = tot_dice = 0.0
+        tot_correct = 0
+        tot_px = 0
+        n_batches = 0
+        for batch in Prefetcher(data.batches()):
+            x, m = self._device_batch(batch)
+            if cfg.augment:
+                key, sub = jax.random.split(key)
+                x, m2 = augment_batch(sub, x, m[..., 0])
+                m = m2[..., None]
+            (self.variables["params"], self.variables["batch_stats"],
+             self.opt_state, loss, dice, correct) = self._train_step(
+                self.variables["params"], self.variables["batch_stats"],
+                self.opt_state, x, m)
+            tot_loss += float(loss)
+            tot_dice += float(dice)
+            tot_correct += int(correct)
+            tot_px += int(np.prod(m.shape))
+            n_batches += 1
+        return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
+                tot_correct / max(tot_px, 1))
+
+    def run_epoch_eval(self, data: SegmentationData,
+                      save_masks_dir: Optional[str] = None):
+        tot_loss = tot_dice = 0.0
+        tot_correct = 0
+        tot_px = 0
+        n_batches = 0
+        counts_sum = np.zeros(4, np.int64)
+        for batch in Prefetcher(data.batches()):
+            x, m = self._device_batch(batch)
+            probs, loss, dice, correct, counts = self._eval_step(
+                self.variables["params"], self.variables["batch_stats"], x, m)
+            tot_loss += float(loss)
+            tot_dice += float(dice)
+            tot_correct += int(correct)
+            tot_px += int(np.prod(m.shape))
+            counts_sum += np.asarray(counts, np.int64)
+            n_batches += 1
+            if save_masks_dir is not None:
+                self._save_pred_masks(probs, batch, save_masks_dir)
+        return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
+                tot_correct / max(tot_px, 1), counts_sum)
+
+    def _save_pred_masks(self, probs, batch, out_dir: str):
+        """Reference val-mask saving (train_DC_focal.py:313-331): binarize
+        at 0.3, resize to original size, save {base}_pred.png. (The
+        reference only saves its last batch due to an indentation bug; we
+        save every batch.)"""
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        oh, ow = batch["orig_size"]
+        pred = (np.asarray(probs)[..., 0] > self.cfg.metric_thresh
+                ).astype(np.uint8)
+        for j in range(batch["n_valid"]):
+            m = np.asarray(resize_linear_u8_cv2exact(
+                jnp.asarray(pred[j]), (oh, ow))) * 255
+            base = os.path.splitext(batch["filenames"][j])[0]
+            out_path = os.path.join(out_dir, f"{base}_pred.png")
+            Image.fromarray(m).save(out_path)
+            print(f"Saved predicted mask: {out_path}")
+
+    # ------------------------------------------------------------------
+    def fit(self, train_data: SegmentationData, val_data: SegmentationData):
+        """Epoch driver with reference-format stdout and early stopping."""
+        cfg = self.cfg
+        best_dice = 0.0
+        patience_counter = 0
+        plateau_best = float("inf")
+        plateau_count = 0
+        for epoch in range(cfg.num_epochs):
+            t0 = time.time()
+            tr_loss, tr_dice, tr_acc = self.run_epoch_train(train_data, epoch)
+            va_loss, va_dice, va_acc, _ = self.run_epoch_eval(
+                val_data, cfg.save_val_masks_dir)
+            h = self.history
+            h["train_loss"].append(tr_loss)
+            h["val_loss"].append(va_loss)
+            h["train_dice"].append(tr_dice)
+            h["val_dice"].append(va_dice)
+            h["train_acc"].append(tr_acc)
+            h["val_acc"].append(va_acc)
+
+            # exact reference stdout format (train_DC_focal.py:342-346)
+            print(f"Epoch {epoch+1}/{cfg.num_epochs} | "
+                  f"Train Loss: {tr_loss:.4f}, Val Loss: {va_loss:.4f}, "
+                  f"Train Dice: {tr_dice:.4f}, Val Dice: {va_dice:.4f}")
+            print(f"Train Acc: {tr_acc:.4f}, Val Acc: {va_acc:.4f}")
+            print("-------------------------------------------------------")
+
+            if cfg.plateau_scheduler:
+                # ReduceLROnPlateau(mode='min', factor=0.5, patience=5) —
+                # the fix the reference configured but never invoked
+                if va_loss < plateau_best - 1e-12:
+                    plateau_best = va_loss
+                    plateau_count = 0
+                else:
+                    plateau_count += 1
+                    if plateau_count > 5:
+                        hp = dict(self.opt_state.hyperparams)
+                        hp["learning_rate"] = hp["learning_rate"] * 0.5
+                        self.opt_state = self.opt_state._replace(
+                            hyperparams=hp)
+                        plateau_count = 0
+
+            if va_dice > best_dice:
+                best_dice = va_dice
+                patience_counter = 0
+                save_checkpoint(cfg.ckpt_path, self.variables,
+                                {"epoch": epoch, "val_dice": va_dice,
+                                 "elapsed_s": time.time() - t0})
+                if cfg.export_pth:
+                    self._export_pth(cfg.export_pth)
+                print("Model saved!")
+            else:
+                patience_counter += 1
+            if patience_counter >= cfg.patience:
+                print("Early stopping!")
+                break
+        return self.history
+
+    def _export_pth(self, path: str):
+        """Export weights in the reference .pth layout (needs torch)."""
+        from unetdc_tpu.checkpoint.convert import variables_to_torch_state_dict
+
+        sd = variables_to_torch_state_dict(
+            jax.tree_util.tree_map(np.asarray, self.variables))
+        try:
+            import torch
+
+            torch.save({k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()}, path)
+        except ImportError:
+            np.savez(path + ".npz", **sd)
+
+    # ------------------------------------------------------------------
+    def plot_curves(self, out_path: str = "loss_and_dice_focal_plot.png",
+                    acc_path: str = "accuracy_plot.png"):
+        """Loss/dice and accuracy curve artifacts
+        (train_DC_focal.py:470-504)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        h = self.history
+        epochs = range(1, len(h["train_loss"]) + 1)
+        plt.figure(figsize=(12, 4))
+        plt.subplot(1, 2, 1)
+        plt.plot(epochs, h["train_loss"], label="Training Loss", color="red")
+        plt.plot(epochs, h["val_loss"], label="Validation Loss",
+                 color="green")
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        plt.legend()
+        plt.title("Training and Validation Loss")
+        plt.subplot(1, 2, 2)
+        plt.plot(epochs, h["train_dice"], label="Training Dice & focal",
+                 color="red")
+        plt.plot(epochs, h["val_dice"], label="Validation Dice",
+                 color="green")
+        plt.xlabel("Epoch")
+        plt.ylabel("Dice")
+        plt.legend()
+        plt.title("Training and Validation Dice_Focal")
+        plt.tight_layout()
+        plt.savefig(out_path)
+        plt.close()
+
+        plt.figure(figsize=(6, 4))
+        plt.plot(epochs, h["train_acc"], label="Training Accuracy")
+        plt.plot(epochs, h["val_acc"], label="Validation Accuracy")
+        plt.xlabel("Epoch")
+        plt.ylabel("Accuracy")
+        plt.legend()
+        plt.title("Training and Validation Accuracy")
+        plt.tight_layout()
+        plt.savefig(acc_path)
+        plt.close()
