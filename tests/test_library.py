@@ -1,0 +1,163 @@
+"""Library-facade parity tests (unetdc_tpu.library vs algorithms.py
+semantics: list conventions, quirks included)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+import jax.numpy as jnp
+
+from unetdc_tpu import library as L
+
+
+def test_binary_to_dots_roundtrip(rng):
+    m = rng.rand(16, 16) > 0.7
+    dots = L.binary_to_dots(m)
+    assert len(dots) == m.sum()
+    back = L.dots_to_binary(m, dots)
+    np.testing.assert_array_equal(back, m)
+
+
+def test_labeling_custom(rng):
+    m = rng.rand(24, 24) > 0.6
+    dots = L.binary_to_dots(m)
+    labels = L.labeling_custom(m, dots)
+    ref_lab, _ = ndi.label(m, structure=np.ones((3, 3)))
+    ref = [int(ref_lab[d[0], d[1]]) for d in dots]
+    assert labels == ref
+
+
+def test_sieve_labels_semantics():
+    dots = [[0, i] for i in range(10)]
+    labels = [1] * 6 + [2] * 3 + [3] * 1
+    sd, sl = L.sieve_labels(dots, labels, 2)
+    # labels with <= 2 px removed: label 3 dropped; 1 (6px) and 2 (3px) kept
+    assert len(sd) == 9
+    assert set(sl) == {1, 2}
+
+
+def test_size_stats_quirk():
+    # reference computes sizes over labels 1..max-1 (drops the last label)
+    labels = [1, 1, 1, 2, 2, 3]
+    mean, sd = L.mean_SD_size(labels)
+    assert mean == np.mean([3, 2])  # label 3 excluded by the quirk
+    assert L.mean_SD_size([]) == (0, 0)
+    m, med = L.mean_median_size(labels)
+    assert (m, med) == (2.5, 2.5)
+
+
+def test_centroids_helpers():
+    dots = [[0, 0], [0, 2], [4, 4]]
+    labels = [1, 1, 2]
+    cs = L.calculate_centroids_sizes(dots, labels)
+    np.testing.assert_allclose(cs, [[0, 1, 2], [4, 4, 1]])
+    img = np.zeros((8, 8))
+    csi = L.calculate_centroids_sizes_image(dots, labels, img)
+    assert csi[0, 1] == 2 and csi[4, 4] == 1
+    cents, dtoc = L.calculate_blobs_centroids_and_DTOC(dots, labels, 0, 0)
+    np.testing.assert_allclose(cents, [[0, 1], [4, 4]])
+    np.testing.assert_allclose(dtoc, [1.0, np.sqrt(32)])
+    assert L.calculate_blobs_centroids_and_DTOC([], [], 0, 0) == ([], [])
+
+
+def test_path_helpers():
+    assert L.get_filename("/a/b/c.png") == "c.png"
+    assert L.get_folder("/a/b/c.png") == "/a/b/"
+    assert L.get_filename_without_extension("/a/b/c.png") == "c"
+    assert L.get_filename_without_extension("c.png") == "c"
+    assert L.is_float("3.4") and not L.is_float("x")
+
+
+def test_ui_lists():
+    assert L.return_blobs_algorithms() == ["None", "LoG", "DoG", "DoH"]
+    assert L.return_labeling_algorithms() == ["No separation", "Watershed"]
+    assert len(L.return_colormaps()) == 21
+    assert L.return_colors_dictionnary()["red"] == [255, 0, 0]
+    assert len(L.return_contouring_algorithms()) == 5
+
+
+def test_convert_to_8_bits(rng):
+    rgb = (rng.rand(10, 12, 3) * 255).astype(np.uint8)
+    out = L.convert_to_8_bits(rgb)
+    assert out.dtype == np.uint8 and out.shape == (10, 12)
+    assert out.max() == 255  # rescaled to full range
+    gray = (rng.rand(10, 12) * 120).astype(np.uint8)
+    out = L.convert_to_8_bits(gray)
+    assert out.max() == 255
+
+
+def test_segmentation_two_thresholds(rng):
+    img = (rng.rand(32, 32) * 255).astype(np.uint8)
+    ours = L.segmentation_two_thresholds(img, 200, 100)
+    ref = ndi.binary_dilation(img >= 200, structure=np.ones((3, 3))) \
+        & (img >= 100)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_rolling_ball_true_variant():
+    """Small-array oracle: direct O(N * r^2) computation of the non-flat
+    ball opening."""
+    rng = np.random.RandomState(0)
+    img = (rng.rand(24, 24) * 100).astype(np.float32)
+    radius = 4
+    bg, corr = L.rolling_ball(img, radius)
+
+    d = np.arange(-radius, radius + 1)
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    s = radius ** 2 - yy ** 2 - xx ** 2
+    inside = s >= 0
+    hgt = np.where(inside, radius - np.sqrt(np.maximum(s, 0)), np.nan)
+
+    h, w = img.shape
+    big = 1e30
+    ero = np.full((h, w), big)
+    pad = np.pad(img, radius, constant_values=big)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            k = hgt[dy + radius, dx + radius]
+            if np.isnan(k):
+                continue
+            ero = np.minimum(ero, pad[radius + dy: radius + dy + h,
+                                      radius + dx: radius + dx + w] + k)
+    ref_bg = np.full((h, w), -big)
+    pad2 = np.pad(ero, radius, constant_values=-big)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            k = hgt[dy + radius, dx + radius]
+            if np.isnan(k):
+                continue
+            ref_bg = np.maximum(ref_bg, pad2[radius + dy: radius + dy + h,
+                                             radius + dx: radius + dx + w] - k)
+    np.testing.assert_allclose(bg, ref_bg, atol=1e-3)
+    np.testing.assert_allclose(corr, img - ref_bg, atol=1e-3)
+
+
+def test_watershed_custom_splits_touching_blobs():
+    from unetdc_tpu.ops.watershed import watershed_custom
+
+    m = np.zeros((40, 60), bool)
+    yy, xx = np.mgrid[:40, :60]
+    m |= (yy - 20) ** 2 + (xx - 20) ** 2 <= 81
+    m |= (yy - 20) ** 2 + (xx - 36) ** 2 <= 81  # overlapping circles
+    dots = L.binary_to_dots(m)
+    new_dots, ws_labels = watershed_custom(m, dots)
+    assert len(new_dots) == len(ws_labels) > 0
+    assert len(set(ws_labels)) == 2  # two basins
+    # every returned dot keeps its original coordinates
+    assert all(d in dots for d in new_dots[:10])
+
+
+def test_blob_detection_finds_planted_blobs(rng):
+    img = np.zeros((64, 64), np.float32)
+    yy, xx = np.mgrid[:64, :64]
+    centers = [(16, 16), (40, 44)]
+    for cy, cx in centers:
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0 ** 2))
+    blobs = L.blobs_detection(img, 1, 2, 6)  # LoG
+    assert blobs is not None and len(blobs) >= 2
+    found = {tuple(np.round(b[:2]).astype(int)) for b in blobs}
+    for c in centers:
+        assert any(abs(f[0] - c[0]) <= 2 and abs(f[1] - c[1]) <= 2
+                   for f in found), (c, found)
+    mask = L.blobs_mask(img, blobs)
+    assert mask.any()

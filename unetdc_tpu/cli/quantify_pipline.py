@@ -1,0 +1,57 @@
+"""CLI: batch quantification + radial/spatial density heatmaps —
+flag-compatible with the reference `quantify_pipline.py:159-169` (filename
+typo preserved intentionally)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser("Segment lipid droplets and build a report")
+    p.add_argument("--img_dir", required=True)
+    p.add_argument("--ckpt_path", default="best_UNetDC_focal_model.pth")
+    p.add_argument("--out_dir", default="quantify_results")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--prob_thresh", type=float, default=0.3)
+    p.add_argument("--min_area", type=int, default=1)
+    p.add_argument("--px_per_micron", type=float)
+    p.add_argument("--save_overlays", action="store_true")
+    p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--data_parallel", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from unetdc_tpu.checkpoint import (load_pth_state_dict,
+                                       torch_state_dict_to_variables,
+                                       load_checkpoint)
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.pipelines.heatmaps import (HeatmapV1Engine,
+                                               HeatmapV1Pipeline)
+
+    if args.ckpt_path.endswith(".pth"):
+        variables = torch_state_dict_to_variables(
+            load_pth_state_dict(args.ckpt_path))
+    else:
+        variables = load_checkpoint(args.ckpt_path)
+    mesh = make_mesh(args.data_parallel) if args.data_parallel else None
+    engine = HeatmapV1Engine(
+        variables,
+        compute_dtype=jnp.bfloat16 if args.precision == "bf16"
+        else jnp.float32, mesh=mesh)
+    pipe = HeatmapV1Pipeline(
+        engine, args.out_dir, batch=args.batch, prob_thresh=args.prob_thresh,
+        min_area=args.min_area, px_per_micron=args.px_per_micron,
+        save_overlays=args.save_overlays)
+    pipe.run(args.img_dir)
+    pipe.write_reports()
+    print("\n✓ All done. Outputs are in →", pipe.out_dir)
+
+
+if __name__ == "__main__":
+    main()

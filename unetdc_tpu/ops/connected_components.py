@@ -162,6 +162,68 @@ def label(mask: jax.Array, connectivity: int = 1
     return labels, is_root.sum().astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def label_batch(masks: jax.Array, connectivity: int = 1
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Batched `label`: (B, H, W) masks -> (labels (B, H, W), n (B,)).
+    Both propagations run natively batched (one compilation per batch)."""
+    b, h, w = masks.shape
+    fg = masks.astype(bool)
+    idx = jnp.broadcast_to(
+        jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
+    big = jnp.int32(h * w)
+    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    is_root = fg & (roots == idx)
+    rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
+    rank_img = jnp.where(is_root, rank, 0)
+    labels = _propagate(rank_img, fg, jnp.int32(0), connectivity,
+                        is_min=False)
+    return (jnp.where(fg, labels, 0),
+            is_root.sum(axis=(1, 2)).astype(jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_labels", "connectivity"))
+def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
+                       connectivity: int = 2) -> jax.Array:
+    """Batched remove_objects (algorithms.py:354-367): drop components
+    smaller than min_size. Gather-free: component areas land in a compact
+    table, keep flags are scattered back to the root pixels and
+    max-propagated over each component."""
+    b, h, w = masks.shape
+    n_pix = h * w
+    fg = masks.astype(bool)
+    idx = jnp.broadcast_to(
+        jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w), (b, h, w))
+    big = jnp.int32(n_pix)
+    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    is_root = fg & (roots == idx)
+    rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
+
+    cap = max_labels + 1
+
+    def keep_seed(fg_i, is_root_i, rank_i, roots_i):
+        keys = jnp.where(fg_i, roots_i, n_pix).reshape(-1)
+        areas = jax.ops.segment_sum(
+            jnp.ones_like(keys), keys, num_segments=n_pix + 1)
+        n_i = is_root_i.sum()
+        slot = jnp.where(is_root_i & (rank_i <= max_labels), rank_i, 0
+                         ).reshape(-1)
+        compact_root = jnp.zeros(cap, jnp.int32).at[slot].set(
+            jnp.where(slot > 0, idx[0].reshape(-1), 0))
+        valid = (jnp.arange(cap) >= 1) & (jnp.arange(cap) <= n_i)
+        keep = valid & (areas[compact_root] >= min_size)
+        # cap-sized scatter of keep flags onto the root pixels
+        seed = jnp.zeros(n_pix + 1, jnp.int32).at[
+            jnp.where(valid, compact_root, n_pix)].set(keep.astype(jnp.int32))
+        return seed[:-1].reshape(h, w)
+
+    seeds = jax.vmap(keep_seed)(fg, is_root, rank, roots)
+    kept = _propagate(jnp.where(fg, seeds, 0), fg, jnp.int32(0),
+                      connectivity, is_min=False)
+    return fg & (kept > 0)
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments",))
 def component_areas(labels: jax.Array, num_segments: int) -> jax.Array:
     """areas[k] = pixel count of label k (index 0 = background)."""
