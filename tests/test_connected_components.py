@@ -142,6 +142,33 @@ def test_quantify_mask_empty():
     assert int(stats["count"]) == 0 and int(stats["total"]) == 0
 
 
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_pallas_propagation_matches_xla(rng, connectivity):
+    """The Pallas VMEM-resident propagation kernel (interpret mode on CPU)
+    must agree with the XLA path bit-for-bit."""
+    from unetdc_tpu.ops.connected_components import _propagate_xla
+    from unetdc_tpu.ops.pallas_cc import propagate_pallas
+
+    m = (rng.rand(3, 48, 64) > 0.55)
+    b, h, w = m.shape
+    idx = np.broadcast_to(np.arange(h * w, dtype=np.int32).reshape(h, w),
+                          (b, h, w))
+    ref = _propagate_xla(jnp.asarray(idx), jnp.asarray(m),
+                         jnp.int32(h * w), connectivity, True)
+    ours = propagate_pallas(jnp.asarray(idx), jnp.asarray(m), h * w,
+                            connectivity, True)
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+    # max-propagation (rank flood) too
+    seed = np.where(rng.rand(b, h, w) > 0.9, rng.randint(1, 100, (b, h, w)),
+                    0).astype(np.int32)
+    seed = np.where(m, seed, 0)
+    ref2 = _propagate_xla(jnp.asarray(seed), jnp.asarray(m), jnp.int32(0),
+                          connectivity, False)
+    ours2 = propagate_pallas(jnp.asarray(seed), jnp.asarray(m), 0,
+                             connectivity, False)
+    np.testing.assert_array_equal(np.asarray(ours2), np.asarray(ref2))
+
+
 def test_component_areas(rng):
     m = _random_mask(rng, (40, 40), 0.4)
     lab, n = label(jnp.asarray(m))

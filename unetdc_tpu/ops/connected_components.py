@@ -103,9 +103,9 @@ def _sweep(lab: jax.Array, fg: jax.Array, fill, connectivity: int,
     return jnp.where(fg, v, lab)
 
 
-def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
-               is_min: bool) -> jax.Array:
-    """Run sweeps to fixpoint. Batched: operates on (..., H, W)."""
+def _propagate_xla(init: jax.Array, fg: jax.Array, fill, connectivity: int,
+                   is_min: bool) -> jax.Array:
+    """Pure-XLA propagation (every sweep round-trips HBM)."""
     def body(state):
         lab, _ = state
         new = _sweep(lab, fg, fill, connectivity, is_min)
@@ -113,6 +113,29 @@ def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
 
     lab, _ = lax.while_loop(lambda s: s[1], body, (init, jnp.bool_(True)))
     return lab
+
+
+def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
+               is_min: bool) -> jax.Array:
+    """Run sweeps to fixpoint on (..., H, W).
+
+    An experimental VMEM-resident Pallas kernel exists (ops/pallas_cc.py,
+    enable with UNETDC_TPU_PALLAS_CC=1): it is bit-identical and removes all
+    inter-sweep HBM traffic, but Mosaic's lowering of large-lane rolls makes
+    512x512 kernels prohibitively slow to compile on this toolchain, so the
+    XLA path is the default."""
+    import os
+
+    if (init.ndim in (2, 3) and jax.default_backend() == "tpu"
+            and os.environ.get("UNETDC_TPU_PALLAS_CC") == "1"):
+        from unetdc_tpu.ops.pallas_cc import propagate_pallas
+
+        squeezed = init.ndim == 2
+        init3 = init[None] if squeezed else init
+        fg3 = fg[None] if squeezed else fg
+        out = propagate_pallas(init3, fg3, int(fill), connectivity, is_min)
+        return out[0] if squeezed else out
+    return _propagate_xla(init, fg, fill, connectivity, is_min)
 
 
 def _cumsum2d(x: jax.Array) -> jax.Array:
@@ -130,7 +153,7 @@ def propagate_roots(mask: jax.Array, connectivity: int = 1) -> jax.Array:
     h, w = mask.shape
     fg = mask.astype(bool)
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    big = jnp.int32(h * w)
+    big = h * w
     return _propagate(idx, fg, big, connectivity, is_min=True)
 
 
@@ -156,7 +179,7 @@ def label(mask: jax.Array, connectivity: int = 1
     is_root = fg & (roots == idx)
     rank = _cumsum2d(is_root.astype(jnp.int32))  # at a root: its 1-based label
     rank_img = jnp.where(is_root, rank, 0)
-    labels = _propagate(rank_img, fg, jnp.int32(0), connectivity,
+    labels = _propagate(rank_img, fg, 0, connectivity,
                         is_min=False)
     labels = jnp.where(fg, labels, 0)
     return labels, is_root.sum().astype(jnp.int32)
@@ -171,12 +194,12 @@ def label_batch(masks: jax.Array, connectivity: int = 1
     fg = masks.astype(bool)
     idx = jnp.broadcast_to(
         jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
-    big = jnp.int32(h * w)
+    big = h * w
     roots = _propagate(idx, fg, big, connectivity, is_min=True)
     is_root = fg & (roots == idx)
     rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
     rank_img = jnp.where(is_root, rank, 0)
-    labels = _propagate(rank_img, fg, jnp.int32(0), connectivity,
+    labels = _propagate(rank_img, fg, 0, connectivity,
                         is_min=False)
     return (jnp.where(fg, labels, 0),
             is_root.sum(axis=(1, 2)).astype(jnp.int32))
@@ -195,7 +218,7 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
     fg = masks.astype(bool)
     idx = jnp.broadcast_to(
         jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w), (b, h, w))
-    big = jnp.int32(n_pix)
+    big = n_pix
     roots = _propagate(idx, fg, big, connectivity, is_min=True)
     is_root = fg & (roots == idx)
     rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
@@ -219,7 +242,7 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
         return seed[:-1].reshape(h, w)
 
     seeds = jax.vmap(keep_seed)(fg, is_root, rank, roots)
-    kept = _propagate(jnp.where(fg, seeds, 0), fg, jnp.int32(0),
+    kept = _propagate(jnp.where(fg, seeds, 0), fg, 0,
                       connectivity, is_min=False)
     return fg & (kept > 0)
 
@@ -261,7 +284,7 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
     fg = masks.astype(bool)
     idx = jnp.broadcast_to(
         jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
-    big = jnp.int32(h * w)
+    big = h * w
     roots = _propagate(idx, fg, big, connectivity, is_min=True)
     return jax.vmap(
         lambda m, r: _quantify_from_roots(m, r, min_area, max_labels)

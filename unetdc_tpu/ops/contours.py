@@ -49,7 +49,7 @@ def contour_spreading(image: jax.Array, threshold,
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     border = (yy == 0) | (yy == h - 1) | (xx == 0) | (xx == w - 1)
-    big = jnp.int32(1 << 30)
+    big = 1 << 30
     seed = jnp.where(border & bg, 0, big)
     reached = _propagate(seed, bg, big, connectivity, is_min=True)
     return ~(bg & (reached == 0))
