@@ -99,17 +99,22 @@ class QuantifyEngine:
                 "sum-0": stats["sum-0"], "sum-1": stats["sum-1"]}
 
     # ------------------------------------------------------------------
-    def run_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
-                  prob_thresh: float = 0.3, min_area: int = 1,
-                  background_radius: int = 50, apply_bg: bool = True
-                  ) -> Dict[str, np.ndarray]:
-        """Host entry: uint8 (B, H, W, 3) -> numpy results dict."""
+    def dispatch_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
+                       prob_thresh: float = 0.3, min_area: int = 1,
+                       background_radius: int = 50, apply_bg: bool = True):
+        """Asynchronously enqueue one megastep; returns device arrays.
+        JAX dispatch is async, so callers can enqueue batch k+1 before
+        fetching batch k — overlapping device compute with host IO."""
         x = jnp.asarray(imgs_u8)
         if self.mesh is not None:
             x = jax.device_put(x, batch_sharding(self.mesh, x.ndim))
-        out = self._megastep(
+        return self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
+
+    def fetch_batch(self, out, out_hw: Tuple[int, int]
+                    ) -> Dict[str, np.ndarray]:
+        """Transfer a dispatched batch to host + unpack masks."""
         host = jax.tree_util.tree_map(np.asarray, out)
         if int(host["total"].max()) > self.max_labels:
             raise RuntimeError(
@@ -121,6 +126,15 @@ class QuantifyEngine:
         host["mask"] = np.unpackbits(
             host.pop("mask_bits"), axis=-1)[:, :oh * ow].reshape(b, oh, ow)
         return host
+
+    def run_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
+                  prob_thresh: float = 0.3, min_area: int = 1,
+                  background_radius: int = 50, apply_bg: bool = True
+                  ) -> Dict[str, np.ndarray]:
+        """Synchronous host entry: uint8 (B, H, W, 3) -> numpy results."""
+        out = self.dispatch_batch(imgs_u8, out_hw, prob_thresh, min_area,
+                                  background_radius, apply_bg)
+        return self.fetch_batch(out, out_hw)
 
     # ------------------------------------------------------------------
     def forward_probs(self, x_f32: jax.Array) -> jax.Array:

@@ -99,16 +99,8 @@ class HeatmapV1Pipeline(BatchQuantifyPipeline):
     spatial density heatmap PNGs ({name}_radial_density.png,
     {name}_spatial_density.png, cmap 'hot', quantify_pipline.py:141-142)."""
 
-    def _flush(self, imgs, paths, size_hw):
-        n_valid = len(imgs)
-        if n_valid == 0:
-            return
-        while len(imgs) < self.batch:
-            imgs.append(np.zeros_like(imgs[0]))
-        out = self.engine.run_batch(
-            np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
-            self.background_radius)
-        self._write_outputs(out, paths[:n_valid], n_valid)
+    def _write_batch_outputs(self, out, paths, n_valid):
+        super()._write_batch_outputs(out, paths, n_valid)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -119,38 +111,6 @@ class HeatmapV1Pipeline(BatchQuantifyPipeline):
                        out["radial_u8"][i], cmap="hot")
             plt.imsave(self.out_dir / f"{name}_spatial_density.png",
                        out["spatial_u8"][i], cmap="hot")
-
-    def _write_outputs(self, out, paths, n_valid):
-        """Shared mask/CSV/overlay writing (same as the base class)."""
-        from PIL import Image
-
-        from unetdc_tpu.pipelines.quantify_batch import (draw_overlay,
-                                                         props_to_dataframe)
-
-        for i in range(n_valid):
-            fpath = paths[i]
-            name = fpath.stem
-            mask = out["mask"][i]
-            Image.fromarray(mask * 255).save(
-                self.mask_dir / f"{name}_pred.png")
-            props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
-            df = props_to_dataframe(props_i, out["count"][i],
-                                    self.px_per_micron)
-            df.insert(0, "filename", fpath.name)
-            df.to_csv(self.out_dir / f"{name}_droplets.csv", index=False)
-            self.all_props.append(df)
-            self.per_image_rows.append({
-                "filename": fpath.name,
-                "droplet_count": len(df),
-                "total_area_px": int(df["area"].sum()) if not df.empty else 0,
-            })
-            if self.overlay_dir is not None:
-                import cv2
-
-                img = cv2.imread(str(fpath))
-                if img is not None:
-                    cv2.imwrite(str(self.overlay_dir / f"{name}_overlay.png"),
-                                draw_overlay(img, mask))
 
 
 class BlobInspectorEngine(QuantifyEngine):
@@ -228,16 +188,8 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
     quantify.py:89-90). No master summary artifacts (the reference v2 CLI
     writes none)."""
 
-    def _flush(self, imgs, paths, size_hw):
-        n_valid = len(imgs)
-        if n_valid == 0:
-            return
-        while len(imgs) < self.batch:
-            imgs.append(np.zeros_like(imgs[0]))
-        out = self.engine.run_batch(
-            np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
-            self.background_radius)
-        oh, ow = size_hw
+    def _write_batch_outputs(self, out, paths, n_valid):
+        oh, ow = out["mask"].shape[1:]
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -251,7 +203,7 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
             name = fpath.stem
             mask = out["mask"][i]
             Image.fromarray(mask * 255).save(
-                self.mask_dir / f"{name}_pred.png")
+                self.mask_dir / f"{name}_pred.png", compress_level=1)
             roi = np.unpackbits(out["roi_bits"][i])[:oh * ow].reshape(oh, ow)
             plt.imsave(self.mask_dir / f"{name}_mask_contour_debug.png",
                        roi, cmap="gray")

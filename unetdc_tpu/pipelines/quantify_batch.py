@@ -102,21 +102,36 @@ class BatchQuantifyPipeline:
     # --------------------------------------------------------------
     def _flush(self, imgs: List[np.ndarray], paths: List[Path],
                size_hw: Tuple[int, int]):
+        """Dispatch one batch asynchronously; drain the previous one first.
+        Device compute of batch k+1 overlaps host artifact writing of k."""
         n_valid = len(imgs)
         if n_valid == 0:
             return
         # pad to full batch so every bucket reuses one compiled program
         while len(imgs) < self.batch:
             imgs.append(np.zeros_like(imgs[0]))
-        out = self.engine.run_batch(
-            np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
-            self.background_radius)
+        self._drain()
+        self._inflight = (
+            self.engine.dispatch_batch(
+                np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
+                self.background_radius),
+            list(paths), n_valid, size_hw)
+
+    def _drain(self):
+        if getattr(self, "_inflight", None) is None:
+            return
+        out, paths, n_valid, size_hw = self._inflight
+        self._inflight = None
+        host = self.engine.fetch_batch(out, size_hw)
+        self._write_batch_outputs(host, paths, n_valid)
+
+    def _write_batch_outputs(self, out, paths, n_valid):
         for i in range(n_valid):
             fpath = paths[i]
             name = fpath.stem
             mask = out["mask"][i]
             Image.fromarray(mask * 255).save(
-                self.mask_dir / f"{name}_pred.png")
+                self.mask_dir / f"{name}_pred.png", compress_level=1)
             props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
@@ -138,21 +153,24 @@ class BatchQuantifyPipeline:
 
     # --------------------------------------------------------------
     def run(self, img_dir: str, progress: bool = True):
+        from unetdc_tpu.data.dataset import Prefetcher
+
         images = list_images(img_dir)
         if progress:
             try:
                 from tqdm import tqdm
-                images_iter = tqdm(images, desc="Inference")
+                images = tqdm(images, desc="Inference")
             except ImportError:  # pragma: no cover
-                images_iter = images
-        else:
-            images_iter = images
+                pass
+
+        # background-thread decode overlaps PNG IO with device compute
+        images_iter = Prefetcher(((p, decode_rgb(p)) for p in images),
+                                 depth=4)
 
         pend_imgs: List[np.ndarray] = []
         pend_paths: List[Path] = []
         pend_size: Optional[Tuple[int, int]] = None
-        for p in images_iter:
-            arr = decode_rgb(p)
+        for p, arr in images_iter:
             hw = arr.shape[:2]
             if pend_size is not None and (hw != pend_size or
                                           len(pend_imgs) == self.batch):
@@ -166,6 +184,7 @@ class BatchQuantifyPipeline:
                 pend_imgs, pend_paths = [], []
         if pend_imgs:
             self._flush(pend_imgs, pend_paths, pend_size)
+        self._drain()
         return self
 
     # --------------------------------------------------------------
