@@ -1,0 +1,95 @@
+"""CLI flag parity + GUI command-builder tests."""
+
+import pytest
+
+
+def test_batch_cli_flags_match_reference():
+    """Every reference flag (quantify_droplets_batch.py:101-127) must exist
+    with the same default."""
+    from unetdc_tpu.cli.quantify_droplets_batch import build_parser
+
+    p = build_parser()
+    defaults = {a.dest: a.default for a in p._actions}
+    assert defaults["ckpt_path"] == "best_UNetDC_focal_model.pth"
+    assert defaults["out_dir"] == "quant_results"
+    assert defaults["batch"] == 8
+    assert defaults["prob_thresh"] == 0.3
+    assert defaults["min_area"] == 1
+    assert defaults["px_per_micron"] is None
+    assert defaults["save_overlays"] is False
+    assert defaults["background_radius"] == 50
+    assert defaults["skip_excel"] is False
+    assert defaults["skip_histogram"] is False
+    args = p.parse_args(["--img_dir", "x", "--save_overlays", "--skip_excel"])
+    assert args.save_overlays and args.skip_excel
+
+
+def test_quantify_cli_flags_match_reference():
+    """quantify.py:116-128 flag surface."""
+    from unetdc_tpu.cli.quantify import build_parser
+
+    p = build_parser()
+    defaults = {a.dest: a.default for a in p._actions}
+    assert defaults["out_dir"] == "quanti_results"
+    assert defaults["kernel_size"] == 55
+    assert defaults["nb_layers"] == 3
+    assert defaults["contour_thresh"] == 0
+    assert defaults["contour_min_size"] == 20
+    # px_per_micron is required in the reference
+    with pytest.raises(SystemExit):
+        p.parse_args(["--img_dir", "x"])
+
+
+def test_quantify_pipline_cli_flags():
+    from unetdc_tpu.cli.quantify_pipline import build_parser
+
+    p = build_parser()
+    defaults = {a.dest: a.default for a in p._actions}
+    assert defaults["out_dir"] == "quantify_results"
+    assert defaults["prob_thresh"] == 0.3
+
+
+def test_train_cli_defaults():
+    from unetdc_tpu.cli.train import build_parser as bp1
+    from unetdc_tpu.cli.train_dc_focal import build_parser as bp2
+
+    d1 = {a.dest: a.default for a in bp1()._actions}
+    assert d1["epochs"] == 50 and d1["patience"] == 10  # train.py
+    d2 = {a.dest: a.default for a in bp2()._actions}
+    assert d2["epochs"] == 15 and d2["patience"] == 5  # train_DC_focal.py
+    assert d2["focal_ratio"] == 0.3
+    assert d2["lr"] == 1e-3
+
+
+def test_gui_command_builder():
+    from unetdc_tpu.gui.command import build_batch_command
+
+    cmd = build_batch_command("/imgs", "/ck.pth", "/out", batch=4,
+                              prob_thresh=0.25, min_area=3,
+                              px_per_micron=3.45, save_overlays=True,
+                              background_radius=30, skip_excel=True,
+                              python="python")
+    assert cmd[:3] == ["python", "-m",
+                       "unetdc_tpu.cli.quantify_droplets_batch"]
+    s = " ".join(cmd)
+    assert "--img_dir /imgs" in s
+    assert "--prob_thresh 0.25" in s
+    assert "--px_per_micron 3.45" in s
+    assert "--save_overlays" in s
+    assert "--skip_excel" in s
+    assert "--skip_histogram" not in s
+    with pytest.raises(ValueError):
+        build_batch_command("", "/ck.pth", "/out")
+
+
+def test_stage_timer_report():
+    from unetdc_tpu.utils.profiling import (reset_stages, stage_report,
+                                            stage_timer)
+
+    reset_stages()
+    with stage_timer("decode"):
+        pass
+    with stage_timer("decode"):
+        pass
+    rep = stage_report()
+    assert "decode" in rep and "x2" in rep

@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model compute precision on TPU")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard the batch over N chips (0 = single chip)")
+    p.add_argument("--profile", default=None, metavar="LOG_DIR",
+                   help="write a jax.profiler TensorBoard trace to LOG_DIR")
     return p
 
 
@@ -49,6 +51,8 @@ def main(argv=None):
     from unetdc_tpu.pipelines.engine import load_engine
     from unetdc_tpu.pipelines.quantify_batch import BatchQuantifyPipeline
 
+    from unetdc_tpu.utils.profiling import profile_trace
+
     mesh = make_mesh(args.data_parallel) if args.data_parallel else None
     engine = load_engine(args.ckpt_path, mesh=mesh,
                          fast=(args.precision == "bf16"))
@@ -57,7 +61,8 @@ def main(argv=None):
         min_area=args.min_area, px_per_micron=args.px_per_micron,
         save_overlays=args.save_overlays,
         background_radius=args.background_radius)
-    pipe.run(args.img_dir)
+    with profile_trace(args.profile):
+        pipe.run(args.img_dir)
     pipe.write_reports(skip_excel=args.skip_excel,
                        skip_histogram=args.skip_histogram)
     # stdout contract consumed by the GUIs (gui_qt.py:113-116)
