@@ -92,8 +92,9 @@ class SegmentationData:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _load_one(self, img_name: str, mask_name: str):
-        img = np.array(Image.open(
-            os.path.join(self.image_dir, img_name)).convert("RGB"))
+        from unetdc_tpu.io.native import decode_rgb
+
+        img = decode_rgb(os.path.join(self.image_dir, img_name))
         mask = np.array(Image.open(
             os.path.join(self.mask_dir, mask_name)).convert("L"))
         mask = (mask > 0).astype(np.uint8)

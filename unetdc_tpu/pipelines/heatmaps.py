@@ -202,8 +202,9 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
             fpath = paths[i]
             name = fpath.stem
             mask = out["mask"][i]
-            Image.fromarray(mask * 255).save(
-                self.mask_dir / f"{name}_pred.png", compress_level=1)
+            from unetdc_tpu.io.native import encode_png_gray
+
+            encode_png_gray(self.mask_dir / f"{name}_pred.png", mask * 255)
             roi = np.unpackbits(out["roi_bits"][i])[:oh * ow].reshape(oh, ow)
             plt.imsave(self.mask_dir / f"{name}_mask_contour_debug.png",
                        roi, cmap="gray")

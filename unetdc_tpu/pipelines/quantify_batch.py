@@ -36,7 +36,9 @@ def list_images(img_dir: str) -> List[Path]:
 
 
 def decode_rgb(path: Path) -> np.ndarray:
-    return np.array(Image.open(path).convert("RGB"))
+    from unetdc_tpu.io.native import decode_rgb as _native_decode
+
+    return _native_decode(path)
 
 
 def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
@@ -130,8 +132,9 @@ class BatchQuantifyPipeline:
             fpath = paths[i]
             name = fpath.stem
             mask = out["mask"][i]
-            Image.fromarray(mask * 255).save(
-                self.mask_dir / f"{name}_pred.png", compress_level=1)
+            from unetdc_tpu.io.native import encode_png_gray
+
+            encode_png_gray(self.mask_dir / f"{name}_pred.png", mask * 255)
             props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
