@@ -144,6 +144,89 @@ def test_trainer_smoke(tiny_dataset, tmp_path, monkeypatch):
     assert (tmp_path / "curves.png").exists()
 
 
+def test_trainer_resume(tiny_dataset, tmp_path):
+    """Resume restores best metric + epoch counter from checkpoint meta."""
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    ckpt = tmp_path / "best.msgpack"
+    hist = tmp_path / "hist.jsonl"
+    kw = dict(model="unetdc", loss="focal_dice", patience=50, batch_size=2,
+              img_size=32, ckpt_path=str(ckpt), compute_dtype="f32",
+              background_radius=10, augment=False,
+              history_jsonl=str(hist))
+    data = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2)
+    t1 = Trainer(TrainConfig(num_epochs=1, **kw))
+    t1.fit(data, data)
+    assert ckpt.exists()
+
+    import io
+    import contextlib
+
+    t2 = Trainer(TrainConfig(num_epochs=2, resume=True, **kw))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        h = t2.fit(data, data)
+    assert "Resumed from" in buf.getvalue()
+    assert len(h["train_loss"]) == 1  # only epoch 2 ran
+    lines = hist.read_text().strip().splitlines()
+    assert len(lines) == 2  # one from each fit
+    import json
+
+    rec = json.loads(lines[-1])
+    assert rec["epoch"] == 2 and "val_dice" in rec
+
+
+def test_contour_shrinking_box_matches_reference(rng):
+    """Direct numpy port of algorithms.py:316-352 as oracle."""
+    from scipy import ndimage as ndi
+
+    from unetdc_tpu.library import contour_shrinking_box
+
+    def ref_shrinking_box(image, threshold):
+        mask = np.zeros_like(image, dtype=bool)
+        beginx, beginy = 0, 0
+        height, width = image.shape
+        endy, endx = image.shape
+        outer = np.zeros_like(image, dtype=bool)
+        outer[beginy:endy, beginx] = image[beginy:endy, beginx] <= threshold
+        outer[beginy:endy, endx - 1] = image[beginy:endy, endx - 1] <= threshold
+        outer[beginy, beginx:endx] = image[beginy, beginx:endx] <= threshold
+        outer[endy - 1, beginx:endx] = image[endy - 1, beginx:endx] <= threshold
+        beginx += 1
+        beginy += 1
+        endx -= 1
+        endy -= 1
+        while endx - beginx > 1 and endy - beginy > 1:
+            inner = np.zeros_like(image, dtype=bool)
+            inner[0:beginy, 0:width] = image[0:beginy, 0:width] <= threshold
+            inner[0:height, endx:width] = image[0:height, endx:width] <= threshold
+            inner[endy:height, 0:width] = image[endy:height, 0:width] <= threshold
+            inner[0:height, 0:beginx] = image[0:height, 0:beginx] <= threshold
+            dil = ndi.binary_dilation(outer, structure=np.ones((3, 3)))
+            mask = dil & inner
+            if mask.any():
+                outer = outer | mask
+            else:
+                return ~outer
+            beginx += 1
+            beginy += 1
+            endx -= 1
+            endy -= 1
+        return ~outer
+
+    img = (rng.rand(40, 44) * 40).astype(np.uint8)
+    yy, xx = np.mgrid[:40, :44]
+    disk = (yy - 20) ** 2 + (xx - 22) ** 2 <= 14 ** 2
+    img[disk] += 120
+    for t in (30, 60):
+        ref = ref_shrinking_box(img, t)
+        ours = contour_shrinking_box(img, t)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"t={t}")
+
+
 def test_prefetcher_propagates_and_orders():
     from unetdc_tpu.data.dataset import Prefetcher
 

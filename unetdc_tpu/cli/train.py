@@ -22,6 +22,10 @@ def build_parser():
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from ckpt_path if present")
+    p.add_argument("--history_jsonl", default=None,
+                   help="append per-epoch metrics as JSONL")
     return p
 
 
@@ -44,7 +48,8 @@ def main(argv=None):
         patience=args.patience, batch_size=args.batch, seed=args.seed,
         ckpt_path=args.ckpt_path, export_pth=args.export_pth,
         save_val_masks_dir=args.val_masks_dir, compute_dtype=args.precision,
-        augment=not args.no_augment)
+        augment=not args.no_augment,
+        resume=args.resume, history_jsonl=args.history_jsonl)
     trainer = Trainer(cfg, mesh=mesh)
     mk = lambda il, ml, sh: SegmentationData(
         args.image_dir, args.mask_dir, il, ml, batch_size=args.batch,

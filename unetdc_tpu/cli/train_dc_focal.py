@@ -37,6 +37,10 @@ def build_parser():
                    help="actually step ReduceLROnPlateau (the reference "
                         "configures but never calls it)")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from ckpt_path if present")
+    p.add_argument("--history_jsonl", default=None,
+                   help="append per-epoch metrics as JSONL")
     p.add_argument("--skip_test", action="store_true")
     return p
 
@@ -63,7 +67,8 @@ def main(argv=None):
         batch_size=args.batch, seed=args.seed, ckpt_path=args.ckpt_path,
         export_pth=args.export_pth, save_val_masks_dir=args.val_masks_dir,
         plateau_scheduler=args.plateau_scheduler,
-        compute_dtype=args.precision, augment=not args.no_augment)
+        compute_dtype=args.precision, augment=not args.no_augment,
+        resume=args.resume, history_jsonl=args.history_jsonl)
     trainer = Trainer(cfg, mesh=mesh)
 
     mk = lambda il, ml, sh: SegmentationData(

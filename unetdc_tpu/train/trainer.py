@@ -66,6 +66,8 @@ class TrainConfig:
     plateau_scheduler: bool = False     # reference never steps its scheduler
     compute_dtype: str = "bf16"
     augment: bool = True
+    resume: bool = False                # resume from ckpt_path if it exists
+    history_jsonl: Optional[str] = None  # structured per-epoch metrics log
 
 
 class Trainer:
@@ -231,7 +233,18 @@ class Trainer:
         patience_counter = 0
         plateau_best = float("inf")
         plateau_count = 0
-        for epoch in range(cfg.num_epochs):
+        start_epoch = 0
+        if cfg.resume and os.path.exists(cfg.ckpt_path):
+            from unetdc_tpu.checkpoint.native import (load_checkpoint,
+                                                      load_metadata)
+
+            self.variables = load_checkpoint(cfg.ckpt_path)
+            meta = load_metadata(cfg.ckpt_path) or {}
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_dice = float(meta.get("best_metric", 0.0))
+            print(f"Resumed from {cfg.ckpt_path} at epoch {start_epoch} "
+                  f"(best val dice {best_dice:.4f})")
+        for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             tr_loss, tr_dice, tr_acc = self.run_epoch_train(train_data, epoch)
             va_loss, va_dice, va_acc, _ = self.run_epoch_eval(
@@ -250,6 +263,16 @@ class Trainer:
                   f"Train Dice: {tr_dice:.4f}, Val Dice: {va_dice:.4f}")
             print(f"Train Acc: {tr_acc:.4f}, Val Acc: {va_acc:.4f}")
             print("-------------------------------------------------------")
+            if cfg.history_jsonl:
+                import json
+
+                with open(cfg.history_jsonl, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch + 1, "train_loss": tr_loss,
+                        "val_loss": va_loss, "train_dice": tr_dice,
+                        "val_dice": va_dice, "train_acc": tr_acc,
+                        "val_acc": va_acc,
+                        "elapsed_s": time.time() - t0}) + "\n")
 
             if cfg.plateau_scheduler:
                 # ReduceLROnPlateau(mode='min', factor=0.5, patience=5) —
