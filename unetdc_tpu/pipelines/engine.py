@@ -6,10 +6,12 @@ host<->device per batch and then runs skimage/OpenCV serially on the host:
     PIL decode -> cv2 rolling ball -> cv2 resize -> torch forward ->
     .cpu() -> threshold -> cv2 resize -> skimage label x2 -> regionprops.
 Here everything after decode is a single XLA program:
-    rolling ball (windowed min/max) -> resize (MXU matmuls) -> UNetDC
-    (BN-folded, bf16) -> threshold -> cv2-exact mask resize -> CC labeling
-    (pointer jumping) -> sieve -> regionprops (segment sums).
-Only uint8 images go in and masks + fixed-size property tables come out.
+    rolling ball (windowed min/max) -> resize (bit-exact cv2 kernel) ->
+    UNetDC (BN-folded, bf16) -> threshold -> cv2-exact mask resize ->
+    CC labeling (segmented-scan propagation) -> sieve -> regionprops
+    (segment sums into compact tables).
+Only uint8 images go in; bit-packed masks + fixed-size droplet property
+tables come out (device->host transfer is the scarce resource).
 
 Shapes are static per (batch, input size); the host driver buckets images by
 original size and pads the final partial batch (valid-count masked) so each
