@@ -1,0 +1,59 @@
+"""Multi-chip correctness: the sharded inference megastep must produce
+bit-identical results to single-device execution (virtual 8-device CPU
+mesh; the driver separately dry-runs the training step)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_matches_unsharded(rng):
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.models.unet import UNetDC, init_params
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    variables = init_params(UNetDC(), jax.random.PRNGKey(0),
+                            input_shape=(1, 32, 32, 3))
+    imgs = (rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)
+
+    plain = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                           max_labels=512)
+    plain.img_size = 64
+    ref = plain.run_batch(imgs, (64, 64), background_radius=10)
+
+    mesh = make_mesh(4, 2)
+    sharded = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                             max_labels=512, mesh=mesh)
+    sharded.img_size = 64
+    out = sharded.run_batch(imgs, (64, 64), background_radius=10)
+
+    np.testing.assert_array_equal(out["mask"], ref["mask"])
+    np.testing.assert_array_equal(out["count"], ref["count"])
+    np.testing.assert_array_equal(out["area"], ref["area"])
+    np.testing.assert_array_equal(out["sum-0"], ref["sum-0"])
+    np.testing.assert_array_equal(out["sum-1"], ref["sum-1"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_construction_and_sharding_helpers():
+    from jax.sharding import PartitionSpec as P
+
+    from unetdc_tpu.core.mesh import (batch_sharding, make_mesh, replicate,
+                                      shard_batch)
+
+    mesh = make_mesh(4, 2)
+    assert dict(mesh.shape) == {"data": 4, "space": 2}
+    sh = batch_sharding(mesh, 4, space_dim=1)
+    assert sh.spec == P("data", "space", None, None)
+
+    x = np.ones((8, 16, 16, 3), np.float32)
+    xs = shard_batch(mesh, x, space_dim=1)
+    assert xs.sharding.spec == P("data", "space", None, None)
+    tree = replicate(mesh, {"w": np.ones(4)})
+    assert tree["w"].sharding.spec == P()
+
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)
