@@ -117,6 +117,45 @@ def test_pipeline_end_to_end(ckpt_and_model, image_dir, tmp_path):
         ref_stats.values, rtol=1e-9)
 
 
+def test_segmentation_deep_learning_library_call(ckpt_and_model):
+    """Library API (algorithms.py:61-80 intent): single-call image->mask,
+    grayscale input, 0.3 threshold, x255 output at original size."""
+    from unetdc_tpu import library
+
+    ckpt, _ = ckpt_and_model
+    rng = np.random.RandomState(5)
+    img = (rng.rand(96, 80) * 255).astype(np.uint8)
+    mask = library.segmentation_deep_learning(img, ckpt_path=ckpt)
+    assert mask.shape == (96, 80)
+    assert mask.dtype == np.uint8
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_trainer_pth_export_roundtrip(tmp_path):
+    """Natively-trained weights export to the reference .pth layout and load
+    back through torch + our converter to identical values."""
+    import jax
+
+    from unetdc_tpu.models.unet import UNetDC, init_params
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    trainer = Trainer(TrainConfig(model="unetdc", compute_dtype="f32"))
+    pth = tmp_path / "export.pth"
+    trainer._export_pth(str(pth))
+    sd = torch.load(str(pth), map_location="cpu")
+    assert "enc1.0.weight" in sd and sd["enc1.0.weight"].shape == (64, 3, 3, 3)
+    assert "upconv4.weight" in sd and sd["upconv4.weight"].shape == (1024, 512, 2, 2)
+
+    from unetdc_tpu.checkpoint.convert import torch_state_dict_to_variables
+
+    back = torch_state_dict_to_variables(
+        {k: v.numpy() for k, v in sd.items()})
+    orig = trainer.variables["params"]["enc1"]["conv0"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["enc1"]["conv0"]["kernel"]),
+        np.asarray(orig))
+
+
 def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     """All-dark image -> no droplets -> header-only droplets CSV and zero
     summary row (reference behavior for empty DataFrames)."""
