@@ -66,6 +66,13 @@ int decode_png_rgb(const char* path, int* w, int* h, unsigned char* out) {
     if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
         png_set_gray_to_rgb(png);
     png_set_strip_alpha(png);
+    // Adam7-interlaced rows cannot be streamed row-by-row; hand those to
+    // the PIL fallback rather than silently de-interlacing incorrectly.
+    if (png_get_interlace_type(png, info) != PNG_INTERLACE_NONE) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        fclose(fp);
+        return -5;
+    }
     png_read_update_info(png, info);
 
     size_t rowbytes = png_get_rowbytes(png, info);

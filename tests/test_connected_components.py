@@ -129,9 +129,50 @@ def test_quantify_mask_matches_reference_semantics(rng):
     for k in range(1, n2 + 1):
         ys, xs = np.where(ref2 == k)
         assert stats["area"][k - 1] == len(ys)
-        assert stats["sum-0"][k - 1] == ys.sum()
-        assert stats["sum-1"][k - 1] == xs.sum()
+        assert (stats["sum-0-hi"][k - 1] * 256
+                + stats["sum-0-lo"][k - 1]) == ys.sum()
+        assert (stats["sum-1-hi"][k - 1] * 256
+                + stats["sum-1-lo"][k - 1]) == xs.sum()
     assert np.all(stats["area"][n2:] == 0)
+
+
+def test_quantify_mask_large_image_centroids_exact():
+    """Regression: coordinate sums on large images must not overflow int32
+    (hi/lo byte split) — a 2000x2000 full-frame component has coordinate
+    sums ~4e9."""
+    from unetdc_tpu.ops.connected_components import quantify_mask
+
+    h = w = 2000
+    m = np.ones((h, w), np.uint8)
+    stats = quantify_mask(jnp.asarray(m), jnp.int32(1), 16)
+    assert int(stats["count"]) == 1
+    sum0 = int(stats["sum-0-hi"][0]) * 256 + int(stats["sum-0-lo"][0])
+    expected = (h - 1) * h // 2 * w  # sum of row indices over all pixels
+    assert sum0 == expected
+    assert int(stats["area"][0]) == h * w
+
+
+def test_remove_objects_beyond_default_cap(rng):
+    """Regression: >4095 components must not alias into the size filter."""
+    from unetdc_tpu.library import remove_objects
+
+    m = np.zeros((160, 160), bool)
+    m[::2, ::2] = True  # 6400 single-pixel components
+    m[100:110, 100:110] = True  # one 100+px blob
+    out = remove_objects(m, 10)
+    assert out[105, 105] and out.sum() >= 100
+    assert not out[0, 0]
+
+
+def test_blob_dog_equal_radii():
+    """Regression: DoG with min_radius == max_radius must not crash."""
+    from unetdc_tpu.library import blobs_detection
+
+    img = np.zeros((32, 32), np.float32)
+    yy, xx = np.mgrid[:32, :32]
+    img += np.exp(-((yy - 16) ** 2 + (xx - 16) ** 2) / (2 * 2.0 ** 2))
+    blobs = blobs_detection(img, 2, 3, 3)
+    assert blobs is not None  # shape (n, 3); n may be 0
 
 
 def test_quantify_mask_empty():

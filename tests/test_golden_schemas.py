@@ -18,10 +18,12 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(GOLDEN),
 def _make_outputs(tmp_path):
     from unetdc_tpu.pipelines.quantify_batch import props_to_dataframe
 
+    s0 = np.array([2505596, 21, 420])
+    s1 = np.array([592640, 14, 168])
     props = {
         "area": np.array([18224, 7, 42]),
-        "sum-0": np.array([2505596, 21, 420]),
-        "sum-1": np.array([592640, 14, 168]),
+        "sum-0-lo": s0 & 255, "sum-0-hi": s0 >> 8,
+        "sum-1-lo": s1 & 255, "sum-1-hi": s1 >> 8,
     }
     df = props_to_dataframe(props, 3, px_per_um=3.45)
     df.insert(0, "filename", "image15.png")

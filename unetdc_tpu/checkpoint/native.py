@@ -59,7 +59,7 @@ class BestMetricCheckpointer:
         self.best: Optional[float] = None
         self.counter = 0
 
-    def _improved(self, value: float) -> bool:
+    def is_improvement(self, value: float) -> bool:
         if self.best is None:
             return True
         return value > self.best if self.mode == "max" else value < self.best
@@ -67,7 +67,7 @@ class BestMetricCheckpointer:
     def update(self, value: float, tree: Any, metadata: Optional[dict] = None
                ) -> bool:
         """Returns True if training should stop (patience exhausted)."""
-        if self._improved(value):
+        if self.is_improvement(value):
             self.best = value
             self.counter = 0
             md = dict(metadata or {})

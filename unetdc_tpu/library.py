@@ -180,8 +180,15 @@ def contour_shrinking_box(image, threshold) -> np.ndarray:
 
 
 def remove_objects(contour_mask, min_size) -> np.ndarray:
-    """algorithms.py:354-367."""
-    return np.asarray(_remove_objects(jnp.asarray(contour_mask), min_size))
+    """algorithms.py:354-367. Sizes num_segments from the actual component
+    count (power-of-two buckets so recompiles stay rare) — labels beyond the
+    static capacity would otherwise alias and corrupt the size filter."""
+    m = jnp.asarray(contour_mask)
+    n = int(_label(m, connectivity=2)[1])
+    cap = 4096
+    while cap <= n + 1:
+        cap *= 2
+    return np.asarray(_remove_objects(m, min_size, num_segments=cap))
 
 
 def calculate_contours_centroid(image):

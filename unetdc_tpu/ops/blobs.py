@@ -124,7 +124,9 @@ def blob_dog(image, min_sigma=1.0, max_sigma=50.0, sigma_ratio=1.6,
     sigmas = [float(min_sigma)]
     while sigmas[-1] < max_sigma:
         sigmas.append(sigmas[-1] * sigma_ratio)
-    sigmas = tuple(sigmas[:max(len(sigmas), 2)])
+    if len(sigmas) < 2:  # min_sigma >= max_sigma: DoG needs two scales
+        sigmas.append(sigmas[-1] * sigma_ratio)
+    sigmas = tuple(sigmas)
     cube = np.asarray(_dog_cube(jnp.asarray(image, jnp.float32), sigmas))
     peaks = _local_maxima_3d(cube, threshold)
     rows = [(y, x, sigmas[s], cube[s, y, x]) for s, y, x in peaks]

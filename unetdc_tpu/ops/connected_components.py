@@ -241,7 +241,11 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
             jnp.where(valid, compact_root, n_pix)].set(keep.astype(jnp.int32))
         return seed[:-1].reshape(h, w)
 
+    # components ranked beyond max_labels have unknown area: keep them
+    # (conservative pass-through) rather than silently dropping them
+    overflow = is_root & (rank > max_labels)
     seeds = jax.vmap(keep_seed)(fg, is_root, rank, roots)
+    seeds = jnp.where(overflow, 1, seeds)
     kept = _propagate(jnp.where(fg, seeds, 0), fg, 0,
                       connectivity, is_min=False)
     return fg & (kept > 0)
@@ -273,13 +277,18 @@ def sieve_small_components(
     return new_ids[labels], keep.sum().astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_labels", "connectivity"))
+@functools.partial(jax.jit, static_argnames=("max_labels", "connectivity",
+                                             "want_presieve"))
 def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
-                        max_labels: int, connectivity: int = 1):
+                        max_labels: int, connectivity: int = 1,
+                        want_presieve: bool = False):
     """Batched `quantify_mask`: the propagation while_loop runs natively on
     (B, H, W) — compiling it once for the batch instead of per-vmap-instance
     keeps XLA compile time linear — and the cheap per-image table math is
-    vmapped over precomputed roots."""
+    vmapped over precomputed roots. With `want_presieve`, the pre-sieve
+    component table (area + f32-combined coordinate sums in raster order)
+    is also returned, so callers that need both sieved and unsieved stats
+    pay for the propagation only once."""
     b, h, w = masks.shape
     fg = masks.astype(bool)
     idx = jnp.broadcast_to(
@@ -287,13 +296,22 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
     big = h * w
     roots = _propagate(idx, fg, big, connectivity, is_min=True)
     return jax.vmap(
-        lambda m, r: _quantify_from_roots(m, r, min_area, max_labels)
+        lambda m, r: _quantify_from_roots(m, r, min_area, max_labels,
+                                          want_presieve)
     )(masks, roots)
 
 
-def _quantify_from_roots(mask, roots, min_area, max_labels):
+def _quantify_from_roots(mask, roots, min_area, max_labels,
+                         want_presieve: bool = False):
     h, w = mask.shape
     n_pix = h * w
+    # int32 exactness bound: coordinate LOW bytes sum to <= 255 * n_pix and
+    # HIGH bytes to <= (max(h,w)>>8) * n_pix; both must stay under 2^31
+    # (hi/lo split below). 255 * n_pix is the binding constraint.
+    if 255 * n_pix >= 2 ** 31:
+        raise ValueError(
+            f"image {h}x{w} exceeds the exact-int32 regionprops bound "
+            "(~8.4M pixels); tile the image or extend the coordinate split")
     cap = max_labels + 1
     fg = mask.astype(bool)
     idx = jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w)
@@ -304,27 +322,45 @@ def _quantify_from_roots(mask, roots, min_area, max_labels):
     keys = jnp.where(fg, roots, n_pix).reshape(-1)
     rows = jnp.arange(n_pix, dtype=jnp.int32) // w
     cols = jnp.arange(n_pix, dtype=jnp.int32) % w
-    feats = jnp.stack([jnp.ones_like(rows), rows, cols], axis=-1)
+    # split coordinates into low/high bytes so per-component sums stay
+    # exactly representable in int32 for images beyond ~1300px on a side
+    feats = jnp.stack([jnp.ones_like(rows), rows & 255, rows >> 8,
+                       cols & 255, cols >> 8], axis=-1)
     sums = jax.ops.segment_sum(feats, keys, num_segments=n_pix + 1)
 
     slot = jnp.where(is_root & (rank <= max_labels), rank, 0).reshape(-1)
     compact_root = jnp.zeros(cap, jnp.int32).at[slot].set(
         jnp.where(slot > 0, idx.reshape(-1), 0))
-    csums = sums[compact_root]
+    csums = sums[compact_root]  # (cap, 5)
     slot_valid = (jnp.arange(cap) >= 1) & (jnp.arange(cap) <= n_total)
     area = jnp.where(slot_valid, csums[:, 0], 0)
 
     keep = slot_valid & (area >= min_area)
     new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
-    out = jnp.zeros((cap, 3), jnp.int32).at[new_label].set(
+    out = jnp.zeros((cap, 5), jnp.int32).at[new_label].set(
         jnp.where(keep[:, None], csums, 0))
-    return {
+    result = {
         "count": keep.sum().astype(jnp.int32),
         "total": n_total,
         "area": out[1:, 0],
-        "sum-0": out[1:, 1],
-        "sum-1": out[1:, 2],
+        "sum-0-lo": out[1:, 1],
+        "sum-0-hi": out[1:, 2],
+        "sum-1-lo": out[1:, 3],
+        "sum-1-hi": out[1:, 4],
     }
+    if want_presieve:
+        # pre-sieve table in raster order (labels as if min_area == 1);
+        # f32 combination is fine for device consumers (heatmap centroids)
+        pre_area = jnp.where(slot_valid, csums[:, 0], 0)[1:]
+        result["all_area"] = pre_area
+        result["all_sum-0"] = jnp.where(
+            slot_valid, csums[:, 2].astype(jnp.float32) * 256.0
+            + csums[:, 1], 0.0)[1:]
+        result["all_sum-1"] = jnp.where(
+            slot_valid, csums[:, 4].astype(jnp.float32) * 256.0
+            + csums[:, 3], 0.0)[1:]
+        result["all_count"] = jnp.minimum(n_total, max_labels)
+    return result
 
 
 @functools.partial(jax.jit,

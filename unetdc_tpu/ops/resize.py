@@ -127,9 +127,11 @@ def _select_matrix(idx: np.ndarray, src: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def resize_linear_u8_cv2exact(img: jax.Array, out_hw) -> jax.Array:
-    """Bit-exact emulation of this cv2 build's uint8 INTER_LINEAR kernel
-    (verified 0 mismatches on upscales): 11-bit fixed-point coefficients with
-    the SIMD path's intermediate truncations
+    """Emulation of this cv2 build's uint8 INTER_LINEAR kernel: 11-bit
+    fixed-point coefficients with the SIMD path's intermediate truncations,
+    verified bit-exact on the paths the pipeline relies on (binary 0/1
+    masks at any size, and resizes to 512); other uint8 content/sizes can
+    differ from cv2 by ±1 on a small fraction of pixels
         row  = a0*s[x0] + a1*s[x1]
         out  = (((b0*(row0>>4))>>16) + ((b1*(row1>>4))>>16) + 2) >> 2.
     2D uint8 input only. This is the op the pipeline uses to resize predicted

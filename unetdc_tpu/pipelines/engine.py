@@ -47,6 +47,9 @@ class QuantifyEngine:
       mesh: optional jax.sharding.Mesh for multi-chip batch parallelism.
     """
 
+    # subclasses override to receive the pre-sieve component table
+    _want_presieve = False
+
     def __init__(self, variables, model_cls=UNetDC, img_size: int = 512,
                  compute_dtype: Any = jnp.bfloat16, max_labels: int = 4096,
                  mesh=None):
@@ -91,14 +94,22 @@ class QuantifyEngine:
 
         masks = jax.vmap(
             lambda m512: resize_linear_u8_cv2exact(m512, out_hw))(mask512)
+        # subclasses that also need the pre-sieve component table set
+        # _want_presieve so the (expensive) propagation runs only once
         stats = quantify_mask_batch(masks, min_area, self.max_labels,
-                                    connectivity=1)
+                                    connectivity=1,
+                                    want_presieve=self._want_presieve)
         # pack masks to bits: device->host links are the pipeline's
         # scarcest resource; host unpacks with np.unpackbits
         packed = jax.vmap(lambda m: jnp.packbits(m.reshape(-1)))(masks)
-        return {"mask_bits": packed, "count": stats["count"],
-                "total": stats["total"], "area": stats["area"],
-                "sum-0": stats["sum-0"], "sum-1": stats["sum-1"]}
+        out = {"mask_bits": packed, "count": stats["count"],
+               "total": stats["total"], "area": stats["area"]}
+        for k in ("sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi"):
+            out[k] = stats[k]
+        if self._want_presieve:
+            for k in ("all_area", "all_sum-0", "all_sum-1", "all_count"):
+                out[k] = stats[k]
+        return out
 
     # ------------------------------------------------------------------
     def dispatch_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],

@@ -38,6 +38,13 @@ def _normalize01(x):
     return jnp.where(mx > mn, (x - mn) / jnp.maximum(mx - mn, 1e-30), x)
 
 
+def _combine_sums(stats, axis: int) -> jax.Array:
+    """f32-combined coordinate sums from the hi/lo byte split (exact for
+    the magnitudes device consumers need)."""
+    return (stats[f"sum-{axis}-hi"].astype(jnp.float32) * 256.0
+            + stats[f"sum-{axis}-lo"].astype(jnp.float32))
+
+
 def _centroid_size_from_stats(stats, hw, max_labels: int) -> jax.Array:
     """centroid_size_image (algorithms.py:561-576) from compact component
     stats: component size written at int(centroid + 0.5), via one cap-sized
@@ -46,8 +53,8 @@ def _centroid_size_from_stats(stats, hw, max_labels: int) -> jax.Array:
     area = stats["area"].astype(jnp.float32)
     valid = area > 0
     safe = jnp.maximum(area, 1.0)
-    cy = jnp.floor(stats["sum-0"] / safe + 0.5).astype(jnp.int32)
-    cx = jnp.floor(stats["sum-1"] / safe + 0.5).astype(jnp.int32)
+    cy = jnp.floor(_combine_sums(stats, 0) / safe + 0.5).astype(jnp.int32)
+    cx = jnp.floor(_combine_sums(stats, 1) / safe + 0.5).astype(jnp.int32)
     cy = jnp.clip(cy, 0, h - 1)
     cx = jnp.clip(cx, 0, w - 1)
     flat = jnp.where(valid, cy * w + cx, h * w)
@@ -57,27 +64,31 @@ def _centroid_size_from_stats(stats, hw, max_labels: int) -> jax.Array:
 
 
 class HeatmapV1Engine(QuantifyEngine):
-    """QuantifyEngine + radial/spatial density maps (quantify_pipline.py)."""
+    """QuantifyEngine + radial/spatial density maps (quantify_pipline.py).
+
+    The radial map needs UNSIEVED component centroids (quantify_pipline.py:
+    66-68 labels the mask fresh without min_area), so the engine requests
+    the pre-sieve table from the base megastep — the expensive propagation
+    runs once, not twice."""
+
+    _want_presieve = True
 
     def _megastep_impl(self, params, imgs_u8, thresh, min_area, out_hw,
                        background_radius, apply_bg):
         out = super()._megastep_impl(params, imgs_u8, thresh, min_area,
                                      out_hw, background_radius, apply_bg)
-        # unsieved component centroids for the radial map
-        # (quantify_pipline.py:66-68 labels the mask fresh, no min_area)
         oh, ow = out_hw
         masks = jax.vmap(lambda p: jnp.unpackbits(p)[:oh * ow].reshape(
             oh, ow))(out["mask_bits"])
-        allstats = quantify_mask_batch(masks, jnp.int32(1), self.max_labels)
 
-        def per_image(img, mask, st):
+        def per_image(img, mask, all_area, all_s0, all_s1, all_count):
             roi = generate_roi_mask(img)
             cy, cx = moments_centroid(roi)
-            area = jnp.maximum(st["area"].astype(jnp.float32), 1.0)
-            cys = st["sum-0"].astype(jnp.float32) / area
-            cxs = st["sum-1"].astype(jnp.float32) / area
-            valid = (jnp.arange(self.max_labels) < st["count"]) \
-                & (st["area"] > 0)
+            area = jnp.maximum(all_area.astype(jnp.float32), 1.0)
+            cys = all_s0 / area
+            cxs = all_s1 / area
+            valid = (jnp.arange(self.max_labels) < all_count) \
+                & (all_area > 0)
             radial = radial_centroid_count_map(
                 roi, cys, cxs, valid, 10, cy.astype(jnp.float32),
                 cx.astype(jnp.float32))
@@ -88,9 +99,14 @@ class HeatmapV1Engine(QuantifyEngine):
                               ).astype(jnp.uint8)
             return rad_u8, spa_u8
 
-        rad, spa = jax.vmap(per_image)(imgs_u8, masks, allstats)
+        rad, spa = jax.vmap(per_image)(
+            imgs_u8, masks, out["all_area"], out["all_sum-0"],
+            out["all_sum-1"], out["all_count"])
         out["radial_u8"] = rad
         out["spatial_u8"] = spa
+        # pre-sieve tables were consumed on device; don't transfer them
+        for k in ("all_area", "all_sum-0", "all_sum-1", "all_count"):
+            del out[k]
         return out
 
 
@@ -218,7 +234,7 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
                 f"{name}_convoluted_density_heatmap_percentage.png",
                 cmap="hot", vmin=0, vmax=15)
 
-            props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
+            props_i = {k: out[k][i] for k in ("area", "sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi")}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)

@@ -50,13 +50,18 @@ def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
     if n == 0:
         return pd.DataFrame()
     area = np.asarray(props["area"][:n], np.int64)
-    # f64 on host from exact integer device sums == skimage's f64 results
+    # f64 on host from exact integer device sums (hi/lo byte split) ==
+    # skimage's f64 results bit-for-bit
+    sum0 = (np.asarray(props["sum-0-hi"][:n], np.int64) * 256
+            + np.asarray(props["sum-0-lo"][:n], np.int64))
+    sum1 = (np.asarray(props["sum-1-hi"][:n], np.int64) * 256
+            + np.asarray(props["sum-1-lo"][:n], np.int64))
     df = pd.DataFrame({
         "label": np.arange(1, n + 1, dtype=np.int64),
         "area": area,
         "equivalent_diameter": np.sqrt(4.0 * area.astype(np.float64) / np.pi),
-        "centroid-0": np.asarray(props["sum-0"][:n], np.float64) / area,
-        "centroid-1": np.asarray(props["sum-1"][:n], np.float64) / area,
+        "centroid-0": sum0.astype(np.float64) / area,
+        "centroid-1": sum1.astype(np.float64) / area,
     })
     if px_per_um is not None:
         df["area_sqmicron"] = df["area"] / (px_per_um ** 2)
@@ -143,7 +148,7 @@ class BatchQuantifyPipeline:
             from unetdc_tpu.io.native import encode_png_gray
 
             encode_png_gray(self.mask_dir / f"{name}_pred.png", mask * 255)
-            props_i = {k: out[k][i] for k in ("area", "sum-0", "sum-1")}
+            props_i = {k: out[k][i] for k in ("area", "sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi")}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)

@@ -28,7 +28,6 @@ def run_test_phase(trainer, data: SegmentationData, diff_map_dir: str,
         oh, ow = batch["orig_size"]
         pred = (np.asarray(probs)[..., 0] > thresh).astype(np.uint8)
         true = np.asarray(m)[..., 0].astype(np.uint8)
-        imgs = np.asarray(x)
         for j in range(batch["n_valid"]):
             pred_o = np.asarray(resize_linear_u8_cv2exact(
                 jnp.asarray(pred[j]), (oh, ow)))
@@ -39,8 +38,6 @@ def run_test_phase(trainer, data: SegmentationData, diff_map_dir: str,
             base = os.path.splitext(batch["filenames"][j])[0]
             Image.fromarray(diff).save(
                 os.path.join(diff_map_dir, f"{base}_diffmap.png"))
-            img_u8 = np.asarray(jnp.clip(jnp.rint(
-                jnp.asarray(imgs[j]) * 255.0), 0, 255)).astype(np.uint8)
             img_o = batch["images"][j]  # original-size uint8 image
             overlay = np.asarray(overlay_difference(
                 jnp.asarray(img_o), jnp.asarray(diff)))

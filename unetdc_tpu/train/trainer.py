@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from unetdc_tpu.checkpoint.native import save_checkpoint
+from unetdc_tpu.checkpoint.native import save_checkpoint  # noqa: F401 (re-export)
 from unetdc_tpu.data.augment import augment_batch
 from unetdc_tpu.data.dataset import Prefetcher, SegmentationData
 from unetdc_tpu.losses import (combined_loss, confusion_counts, dice_coef,
@@ -228,22 +228,30 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, train_data: SegmentationData, val_data: SegmentationData):
         """Epoch driver with reference-format stdout and early stopping."""
+        from unetdc_tpu.checkpoint.native import BestMetricCheckpointer
+
         cfg = self.cfg
-        best_dice = 0.0
-        patience_counter = 0
+        gate = BestMetricCheckpointer(cfg.ckpt_path, patience=cfg.patience,
+                                      mode="max")
         plateau_best = float("inf")
         plateau_count = 0
         start_epoch = 0
         if cfg.resume and os.path.exists(cfg.ckpt_path):
             from unetdc_tpu.checkpoint.native import (load_checkpoint,
                                                       load_metadata)
+            from flax import serialization
 
             self.variables = load_checkpoint(cfg.ckpt_path)
+            opt_path = cfg.ckpt_path + ".opt"
+            if os.path.exists(opt_path):
+                with open(opt_path, "rb") as f:
+                    self.opt_state = serialization.from_bytes(
+                        self.opt_state, f.read())
             meta = load_metadata(cfg.ckpt_path) or {}
             start_epoch = int(meta.get("epoch", -1)) + 1
-            best_dice = float(meta.get("best_metric", 0.0))
+            gate.best = float(meta.get("best_metric", 0.0))
             print(f"Resumed from {cfg.ckpt_path} at epoch {start_epoch} "
-                  f"(best val dice {best_dice:.4f})")
+                  f"(best val dice {gate.best:.4f})")
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             tr_loss, tr_dice, tr_acc = self.run_epoch_train(train_data, epoch)
@@ -289,18 +297,22 @@ class Trainer:
                             hyperparams=hp)
                         plateau_count = 0
 
-            if va_dice > best_dice:
-                best_dice = va_dice
-                patience_counter = 0
-                save_checkpoint(cfg.ckpt_path, self.variables,
-                                {"epoch": epoch, "val_dice": va_dice,
-                                 "elapsed_s": time.time() - t0})
+            improved = gate.is_improvement(va_dice)
+            stop = gate.update(va_dice, self.variables,
+                               {"epoch": epoch, "val_dice": va_dice,
+                                "elapsed_s": time.time() - t0})
+            if improved:
+                # optimizer state saved alongside so --resume continues the
+                # Adam moments rather than resetting them
+                from flax import serialization
+
+                with open(cfg.ckpt_path + ".opt", "wb") as f:
+                    f.write(serialization.to_bytes(
+                        jax.tree_util.tree_map(np.asarray, self.opt_state)))
                 if cfg.export_pth:
                     self._export_pth(cfg.export_pth)
                 print("Model saved!")
-            else:
-                patience_counter += 1
-            if patience_counter >= cfg.patience:
+            if stop:
                 print("Early stopping!")
                 break
         return self.history
