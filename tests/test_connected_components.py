@@ -183,6 +183,24 @@ def test_quantify_mask_empty():
     assert int(stats["count"]) == 0 and int(stats["total"]) == 0
 
 
+def test_label_fuzz_many_seeds():
+    """Fuzz: 20 random masks across densities/shapes/connectivities must
+    match scipy exactly (labels AND ordering)."""
+    for seed in range(20):
+        r = np.random.RandomState(seed)
+        h = int(r.randint(8, 70))
+        w = int(r.randint(8, 70))
+        p = float(r.uniform(0.05, 0.95))
+        m = (r.rand(h, w) < p).astype(np.uint8)
+        conn = 1 if seed % 2 == 0 else 2
+        struct = STRUCT_4 if conn == 1 else STRUCT_8
+        ours, n = label(jnp.asarray(m), connectivity=conn)
+        ref, n_ref = ndi.label(m, structure=struct)
+        assert int(n) == n_ref, (seed, h, w, p)
+        np.testing.assert_array_equal(np.asarray(ours), ref,
+                                      err_msg=f"seed={seed}")
+
+
 @pytest.mark.parametrize("connectivity", [1, 2])
 def test_pallas_propagation_matches_xla(rng, connectivity):
     """The Pallas VMEM-resident propagation kernel (interpret mode on CPU)

@@ -82,8 +82,7 @@ def main(argv=None):
 
     # ---- test phase (train_DC_focal.py:365-468) -------------------------
     from unetdc_tpu.checkpoint.native import load_checkpoint
-    from unetdc_tpu.losses import (pixel_metrics,
-                                   plot_binary_confusion_matrix_with_metrics)
+    from unetdc_tpu.losses import plot_binary_confusion_matrix_with_metrics
     from unetdc_tpu.train.test_phase import run_test_phase
 
     if os.path.exists(args.ckpt_path):

@@ -23,7 +23,7 @@ from unetdc_tpu.gui.command import build_batch_command
 
 
 def main():  # pragma: no cover - requires Qt + display
-    from PySide6.QtCore import Qt, QThread, Signal
+    from PySide6.QtCore import QThread, Signal
     from PySide6.QtGui import QPixmap
     from PySide6.QtWidgets import (
         QApplication, QCheckBox, QDoubleSpinBox, QFileDialog, QFormLayout,

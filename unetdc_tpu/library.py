@@ -13,7 +13,6 @@ Reference line citations are given per function.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, Optional
 

@@ -14,7 +14,6 @@ Parity targets:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ never shrink/grow artificially.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import numpy as np

@@ -16,9 +16,6 @@ matplotlib artifacts.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,13 +16,11 @@ CLI's stdout as an API (gui_qt.py:113-116).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from PIL import Image
 
 from unetdc_tpu.pipelines.engine import QuantifyEngine
 
