@@ -82,6 +82,45 @@ def test_focal_dice_loss_ratio(rng):
     np.testing.assert_allclose(ours, 0.3 * f + 0.7 * d, rtol=1e-6)
 
 
+def test_logits_losses_match_probability_formulas(rng):
+    """The stable logits-space training losses must equal the reference
+    probability-space formulas away from saturation, and stay finite with
+    bounded gradients AT saturation (where the prob-space form NaNs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unetdc_tpu.losses.losses import (combined_loss_from_logits,
+                                          focal_dice_loss_from_logits,
+                                          focal_loss_from_logits)
+
+    logits = (rng.rand(2, 16, 16, 1).astype(np.float32) - 0.5) * 8
+    target = (rng.rand(2, 16, 16, 1) > 0.5).astype(np.float32)
+    probs = jax.nn.sigmoid(jnp.asarray(logits))
+
+    np.testing.assert_allclose(
+        float(focal_loss_from_logits(jnp.asarray(logits), jnp.asarray(target))),
+        float(focal_loss(probs, jnp.asarray(target))), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(combined_loss_from_logits(jnp.asarray(logits),
+                                        jnp.asarray(target))),
+        float(combined_loss(probs, jnp.asarray(target))), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(focal_dice_loss_from_logits(jnp.asarray(logits),
+                                          jnp.asarray(target), ratio=0.3)),
+        float(focal_dice_loss(probs, jnp.asarray(target), ratio=0.3)),
+        rtol=1e-5)
+
+    # saturation: logits +-60 (sigmoid == exactly 0/1 in f32) with WRONG
+    # targets — loss and gradient must stay finite
+    sat = jnp.full((1, 4, 4, 1), 60.0)
+    wrong = jnp.zeros((1, 4, 4, 1))
+    val, grad = jax.value_and_grad(
+        lambda z: focal_dice_loss_from_logits(z, wrong))(sat)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    assert np.abs(np.asarray(grad)).max() < 10.0  # bounded, not 1e12
+
+
 def test_calculate_metrics_vs_sklearn(rng):
     from sklearn.metrics import (precision_score, recall_score, f1_score,
                                  confusion_matrix)

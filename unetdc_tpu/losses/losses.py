@@ -69,3 +69,52 @@ def focal_dice_loss(pred: jax.Array, target: jax.Array, alpha: float = 1.0,
     fl = focal_loss(pred, target, alpha=alpha, gamma=gamma, reduction="mean")
     dl = dice_loss(pred, target)
     return ratio * fl + (1.0 - ratio) * dl
+
+
+# ---------------------------------------------------------------------------
+# Logits-space variants for TRAINING. The reference bakes sigmoid into the
+# model and feeds probabilities to BCE (utils/metrics_DC.py:49), whose
+# gradient -1/p explodes as predictions saturate — we reproduced NaN
+# divergence within two epochs doing it that way (in f32 AND bf16). These
+# compute the SAME loss values via log-sigmoid identities but with bounded
+# gradients (d bce/d z = sigmoid(z) - t), the numerically sound formulation
+# on any hardware. The probability-space functions above remain the parity
+# surface for evaluation.
+# ---------------------------------------------------------------------------
+
+def _bce_from_logits(logits: jax.Array, target: jax.Array) -> jax.Array:
+    """Elementwise BCE(sigmoid(z), t), computed stably:
+    max(z, 0) - z*t + log1p(exp(-|z|))."""
+    return (jnp.maximum(logits, 0.0) - logits * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def combined_loss_from_logits(logits: jax.Array, target: jax.Array
+                              ) -> jax.Array:
+    """combined_loss with stable BCE; dice uses sigmoid(logits)."""
+    probs = jax.nn.sigmoid(logits)
+    return (0.5 * jnp.mean(_bce_from_logits(logits, target))
+            + 0.5 * dice_loss(probs, target))
+
+
+def focal_loss_from_logits(logits: jax.Array, target: jax.Array,
+                           alpha: float = 1.0, gamma: float = 2.0,
+                           reduction: str = "mean") -> jax.Array:
+    """focal_loss with stable elementwise BCE; pt = exp(-bce) as in the
+    reference formula."""
+    bce = _bce_from_logits(logits, target)
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+    if reduction == "mean":
+        return jnp.mean(fl)
+    if reduction == "sum":
+        return jnp.sum(fl)
+    return fl
+
+
+def focal_dice_loss_from_logits(logits: jax.Array, target: jax.Array,
+                                alpha: float = 1.0, gamma: float = 2.0,
+                                ratio: float = 0.3) -> jax.Array:
+    fl = focal_loss_from_logits(logits, target, alpha=alpha, gamma=gamma)
+    dl = dice_loss(jax.nn.sigmoid(logits), target)
+    return ratio * fl + (1.0 - ratio) * dl

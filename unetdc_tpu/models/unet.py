@@ -62,13 +62,18 @@ class DoubleConv(nn.Module):
                 name=f"conv{i}",
             )(x)
             if self.use_bn:
+                # BatchNorm statistics always in f32: flax's fast-variance
+                # (E[x^2] - E[x]^2) goes negative in bf16 and NaNs training
+                # via rsqrt. Convs stay in compute dtype; the norm is cheap.
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
-                    dtype=self.dtype,
+                    dtype=jnp.float32,
+                    use_fast_variance=False,
                     name=f"bn{i}",
-                )(x)
+                )(x.astype(jnp.float32))
+                x = x.astype(self.dtype)
             x = nn.relu(x)
         return x
 

@@ -21,10 +21,13 @@ def run_test_phase(trainer, data: SegmentationData, diff_map_dir: str,
     thresh = trainer.cfg.metric_thresh
     for batch in Prefetcher(data.batches()):
         x, m = trainer._device_batch(batch)
-        probs = trainer.model.apply(
+        import jax
+
+        logits = trainer.model.apply(
             {"params": trainer.variables["params"],
              "batch_stats": trainer.variables["batch_stats"]}, x,
             train=False)
+        probs = jax.nn.sigmoid(logits)
         oh, ow = batch["orig_size"]
         pred = (np.asarray(probs)[..., 0] > thresh).astype(np.uint8)
         true = np.asarray(m)[..., 0].astype(np.uint8)

@@ -40,8 +40,9 @@ import optax
 from unetdc_tpu.checkpoint.native import save_checkpoint  # noqa: F401 (re-export)
 from unetdc_tpu.data.augment import augment_batch
 from unetdc_tpu.data.dataset import Prefetcher, SegmentationData
-from unetdc_tpu.losses import (combined_loss, confusion_counts, dice_coef,
-                               focal_dice_loss)
+from unetdc_tpu.losses import confusion_counts, dice_coef
+from unetdc_tpu.losses.losses import (combined_loss_from_logits,
+                                      focal_dice_loss_from_logits)
 from unetdc_tpu.models.unet import UNet, UNetDC, init_params
 from unetdc_tpu.ops.resize import resize_linear_u8_cv2exact, resize_nearest
 from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
@@ -76,7 +77,11 @@ class Trainer:
         self.mesh = mesh
         model_cls = UNetDC if config.model == "unetdc" else UNet
         dtype = jnp.bfloat16 if config.compute_dtype == "bf16" else jnp.float32
-        self.model = model_cls(dtype=dtype)
+        # the trainer drives the model WITHOUT the baked-in sigmoid and
+        # computes losses from logits (see losses.losses logits variants —
+        # probability-space BCE gradients NaN within epochs); probabilities
+        # for metrics/artifacts are taken explicitly in the steps.
+        self.model = model_cls(dtype=dtype, apply_sigmoid=False)
         self.variables = init_params(
             self.model, jax.random.PRNGKey(config.seed),
             input_shape=(1, 64, 64, 3))
@@ -88,10 +93,10 @@ class Trainer:
             self.tx = optax.adam(config.lr)
         self.opt_state = self.tx.init(self.variables["params"])
         if config.loss == "focal_dice":
-            self.loss_fn = lambda p, t: focal_dice_loss(
-                p, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio)
+            self.loss_fn = lambda z, t: focal_dice_loss_from_logits(
+                z, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio)
         else:
-            self.loss_fn = combined_loss
+            self.loss_fn = combined_loss_from_logits
 
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1, 2))
@@ -131,10 +136,11 @@ class Trainer:
 
     def _train_step_impl(self, params, batch_stats, opt_state, images, masks):
         def loss_of(p):
-            probs, mutated = self.model.apply(
+            logits, mutated = self.model.apply(
                 {"params": p, "batch_stats": batch_stats}, images,
                 train=True, mutable=["batch_stats"])
-            return self.loss_fn(probs, masks), (probs, mutated["batch_stats"])
+            return (self.loss_fn(logits, masks),
+                    (jax.nn.sigmoid(logits), mutated["batch_stats"]))
 
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
@@ -144,10 +150,11 @@ class Trainer:
         return params, new_stats, opt_state, loss, dice, correct
 
     def _eval_step_impl(self, params, batch_stats, images, masks):
-        probs = self.model.apply(
+        logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=False)
-        loss = self.loss_fn(probs, masks)
+        probs = jax.nn.sigmoid(logits)
+        loss = self.loss_fn(logits, masks)
         dice, correct = self._metrics(probs, masks)
         counts = confusion_counts(masks, probs, self.cfg.metric_thresh)
         return probs, loss, dice, correct, counts
