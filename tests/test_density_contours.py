@@ -119,6 +119,48 @@ def test_get_targets_empty_contour():
         assert np.all(np.asarray(o) == 0)
 
 
+def test_radial_centroid_count_map_matches_reference(rng):
+    """Oracle: direct numpy port of quantify_pipline.py:61-91 (ring map of
+    droplet-centroid counts painted on ROI pixels)."""
+    from unetdc_tpu.ops.density import radial_centroid_count_map
+
+    mt, mc = _blob_scene(rng)
+    lbl, n = ndi.label(mt, structure=np.array([[0, 1, 0], [1, 1, 1],
+                                               [0, 1, 0]], bool))
+    idxs = np.arange(1, n + 1)
+    areas = ndi.sum_labels(np.ones_like(lbl), lbl, index=idxs)
+    cy_all = ndi.sum_labels(np.indices(lbl.shape)[0], lbl, index=idxs) / areas
+    cx_all = ndi.sum_labels(np.indices(lbl.shape)[1], lbl, index=idxs) / areas
+    cy, cx = 33, 41
+
+    # reference port
+    coords = np.where(mc)
+    d = np.sqrt((coords[1] - cx) ** 2 + (coords[0] - cy) ** 2)
+    maxd = d.max()
+    bounds = np.linspace(0, maxd, 11)
+    dc = np.sqrt((cx_all - cx) ** 2 + (cy_all - cy) ** 2)
+    ref = np.zeros(mt.shape, np.float32)
+    for i in range(10):
+        in_ring = (bounds[i] < dc) & (dc <= bounds[i + 1])
+        ring = (bounds[i] < d) & (d <= bounds[i + 1])
+        if ring.any():
+            ref[coords[0][ring], coords[1][ring]] = in_ring.sum()
+
+    cap = 64
+    cys = np.zeros(cap, np.float32)
+    cxs = np.zeros(cap, np.float32)
+    valid = np.zeros(cap, bool)
+    cys[:n] = cy_all
+    cxs[:n] = cx_all
+    valid[:n] = True
+    ours = np.asarray(radial_centroid_count_map(
+        jnp.asarray(mc), jnp.asarray(cys), jnp.asarray(cxs),
+        jnp.asarray(valid), 10, float(cy), float(cx)))
+    # f32 ring-boundary rounding can shift individual centroids/pixels by
+    # one ring; demand exact agreement away from boundaries
+    assert (ours != ref).mean() < 0.02
+
+
 def test_gaussian_density_map_matches_reference(rng):
     from unetdc_tpu.ops.density import gaussian_density_map
 

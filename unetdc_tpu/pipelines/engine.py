@@ -157,9 +157,11 @@ class QuantifyEngine:
 
 def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
                 model_cls=UNetDC, max_labels: int = 4096) -> QuantifyEngine:
-    """Build an engine from a reference .pth or native msgpack checkpoint."""
+    """Build an engine from a reference .pth or native msgpack checkpoint.
+    `fast` selects the bf16 dtype policy (core.dtypes.default_policy)."""
     from unetdc_tpu.checkpoint import (
         load_pth_state_dict, torch_state_dict_to_variables, load_checkpoint)
+    from unetdc_tpu.core.dtypes import default_policy
 
     if ckpt_path.endswith(".pth"):
         variables = torch_state_dict_to_variables(
@@ -168,5 +170,5 @@ def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
         variables = load_checkpoint(ckpt_path)
     return QuantifyEngine(
         variables, model_cls=model_cls,
-        compute_dtype=jnp.bfloat16 if fast else jnp.float32,
+        compute_dtype=default_policy(fast).compute_dtype,
         max_labels=max_labels, mesh=mesh)
