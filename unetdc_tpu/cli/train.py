@@ -22,6 +22,8 @@ def build_parser():
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (larger batches)")
     p.add_argument("--resume", action="store_true",
                    help="resume from ckpt_path if present")
     p.add_argument("--history_jsonl", default=None,
@@ -49,7 +51,8 @@ def main(argv=None):
         ckpt_path=args.ckpt_path, export_pth=args.export_pth,
         save_val_masks_dir=args.val_masks_dir, compute_dtype=args.precision,
         augment=not args.no_augment,
-        resume=args.resume, history_jsonl=args.history_jsonl)
+        resume=args.resume, history_jsonl=args.history_jsonl,
+        remat=args.remat)
     trainer = Trainer(cfg, mesh=mesh)
     mk = lambda il, ml, sh: SegmentationData(
         args.image_dir, args.mask_dir, il, ml, batch_size=args.batch,

@@ -37,6 +37,8 @@ def build_parser():
                    help="actually step ReduceLROnPlateau (the reference "
                         "configures but never calls it)")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (larger batches)")
     p.add_argument("--resume", action="store_true",
                    help="resume from ckpt_path if present")
     p.add_argument("--history_jsonl", default=None,
@@ -68,7 +70,8 @@ def main(argv=None):
         export_pth=args.export_pth, save_val_masks_dir=args.val_masks_dir,
         plateau_scheduler=args.plateau_scheduler,
         compute_dtype=args.precision, augment=not args.no_augment,
-        resume=args.resume, history_jsonl=args.history_jsonl)
+        resume=args.resume, history_jsonl=args.history_jsonl,
+        remat=args.remat)
     trainer = Trainer(cfg, mesh=mesh)
 
     mk = lambda il, ml, sh: SegmentationData(

@@ -127,34 +127,40 @@ class _UNetBase(nn.Module):
     # encoder/bottleneck dilations; UNet = all ones, UNetDC = 1/2/4/8/16
     dilations: Tuple[int, int, int, int, int] = (1, 1, 1, 1, 1)
     apply_sigmoid: bool = True
+    # rematerialize double-conv activations in the backward pass: trades
+    # ~30% extra FLOPs for ~half the activation HBM — enables larger
+    # batch/resolution training (jax.checkpoint, SURVEY §0 memory axis)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dilations
         kw = dict(use_bn=self.use_bn, dtype=self.dtype)
-        enc1 = DoubleConv(64, d[0], name="enc1", **kw)(x, train)
-        enc2 = DoubleConv(128, d[1], name="enc2", **kw)(_max_pool_2x2(enc1), train)
-        enc3 = DoubleConv(256, d[2], name="enc3", **kw)(_max_pool_2x2(enc2), train)
-        enc4 = DoubleConv(512, d[3], name="enc4", **kw)(_max_pool_2x2(enc3), train)
+        DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat \
+            else DoubleConv
+        enc1 = DC(64, d[0], name="enc1", **kw)(x, train)
+        enc2 = DC(128, d[1], name="enc2", **kw)(_max_pool_2x2(enc1), train)
+        enc3 = DC(256, d[2], name="enc3", **kw)(_max_pool_2x2(enc2), train)
+        enc4 = DC(512, d[3], name="enc4", **kw)(_max_pool_2x2(enc3), train)
 
-        bott = DoubleConv(1024, d[4], name="bottleneck", **kw)(
+        bott = DC(1024, d[4], name="bottleneck", **kw)(
             _max_pool_2x2(enc4), train
         )
 
         up4 = UpConv2x2(512, dtype=self.dtype, name="upconv4")(bott)
-        dec4 = DoubleConv(512, 1, name="dec4", **kw)(
+        dec4 = DC(512, 1, name="dec4", **kw)(
             jnp.concatenate([up4, enc4], axis=-1), train
         )
         up3 = UpConv2x2(256, dtype=self.dtype, name="upconv3")(dec4)
-        dec3 = DoubleConv(256, 1, name="dec3", **kw)(
+        dec3 = DC(256, 1, name="dec3", **kw)(
             jnp.concatenate([up3, enc3], axis=-1), train
         )
         up2 = UpConv2x2(128, dtype=self.dtype, name="upconv2")(dec3)
-        dec2 = DoubleConv(128, 1, name="dec2", **kw)(
+        dec2 = DC(128, 1, name="dec2", **kw)(
             jnp.concatenate([up2, enc2], axis=-1), train
         )
         up1 = UpConv2x2(64, dtype=self.dtype, name="upconv1")(dec2)
-        dec1 = DoubleConv(64, 1, name="dec1", **kw)(
+        dec1 = DC(64, 1, name="dec1", **kw)(
             jnp.concatenate([up1, enc1], axis=-1), train
         )
 

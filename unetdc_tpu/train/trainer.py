@@ -68,6 +68,7 @@ class TrainConfig:
     compute_dtype: str = "bf16"
     augment: bool = True
     resume: bool = False                # resume from ckpt_path if it exists
+    remat: bool = False                 # activation checkpointing
     history_jsonl: Optional[str] = None  # structured per-epoch metrics log
 
 
@@ -81,7 +82,8 @@ class Trainer:
         # computes losses from logits (see losses.losses logits variants —
         # probability-space BCE gradients NaN within epochs); probabilities
         # for metrics/artifacts are taken explicitly in the steps.
-        self.model = model_cls(dtype=dtype, apply_sigmoid=False)
+        self.model = model_cls(dtype=dtype, apply_sigmoid=False,
+                               remat=config.remat)
         self.variables = init_params(
             self.model, jax.random.PRNGKey(config.seed),
             input_shape=(1, 64, 64, 3))
