@@ -65,6 +65,10 @@ def main(argv=None):
         pipe.run(args.img_dir)
     pipe.write_reports(skip_excel=args.skip_excel,
                        skip_histogram=args.skip_histogram)
+    if args.profile:
+        from unetdc_tpu.utils.profiling import stage_report
+
+        print(stage_report())
     # stdout contract consumed by the GUIs (gui_qt.py:113-116)
     print("\n All done. Outputs are in ", pipe.out_dir)
 

@@ -130,11 +130,15 @@ class BatchQuantifyPipeline:
             list(paths), n_valid, size_hw))
 
     def _drain(self, one: bool = False):
+        from unetdc_tpu.utils.profiling import stage_timer
+
         inflight = getattr(self, "_inflight", [])
         while inflight:
             out, paths, n_valid, size_hw = inflight.pop(0)
-            host = self.engine.fetch_batch(out, size_hw)
-            self._write_batch_outputs(host, paths, n_valid)
+            with stage_timer("device_fetch"):
+                host = self.engine.fetch_batch(out, size_hw)
+            with stage_timer("host_write_artifacts"):
+                self._write_batch_outputs(host, paths, n_valid)
             if one:
                 break
 
@@ -178,8 +182,15 @@ class BatchQuantifyPipeline:
                 pass
 
         # background-thread decode overlaps PNG IO with device compute
-        images_iter = Prefetcher(((p, decode_rgb(p)) for p in images),
-                                 depth=4)
+        from unetdc_tpu.utils.profiling import stage_timer
+
+        def _decode_all():
+            for p in images:
+                with stage_timer("host_decode"):
+                    arr = decode_rgb(p)
+                yield p, arr
+
+        images_iter = Prefetcher(_decode_all(), depth=4)
 
         pend_imgs: List[np.ndarray] = []
         pend_paths: List[Path] = []
