@@ -38,6 +38,33 @@ def test_sharded_engine_matches_unsharded(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatially_sharded_engine_matches_unsharded(rng):
+    """Height-sharded ('space' axis) inference must be bit-identical —
+    conv halo exchange + scan collectives are inserted by the SPMD
+    partitioner."""
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.models.unet import UNetDC, init_params
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    variables = init_params(UNetDC(), jax.random.PRNGKey(0),
+                            input_shape=(1, 32, 32, 3))
+    imgs = (rng.rand(4, 64, 64, 3) * 255).astype(np.uint8)
+
+    plain = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                           max_labels=512, img_size=64)
+    ref = plain.run_batch(imgs, (64, 64), background_radius=10)
+
+    mesh = make_mesh(2, 4)
+    sharded = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                             max_labels=512, img_size=64, mesh=mesh,
+                             shard_space=True)
+    out = sharded.run_batch(imgs, (64, 64), background_radius=10)
+    np.testing.assert_array_equal(out["mask"], ref["mask"])
+    np.testing.assert_array_equal(out["count"], ref["count"])
+    np.testing.assert_array_equal(out["area"], ref["area"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_construction_and_sharding_helpers():
     from jax.sharding import PartitionSpec as P
 

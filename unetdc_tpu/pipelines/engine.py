@@ -51,7 +51,12 @@ class QuantifyEngine:
 
     def __init__(self, variables, model_cls=UNetDC, img_size: int = 512,
                  compute_dtype: Any = jnp.bfloat16, max_labels: int = 4096,
-                 mesh=None):
+                 mesh=None, shard_space: bool = False):
+        """`shard_space` additionally splits the image height over the
+        mesh's 'space' axis (XLA inserts conv halo exchanges and scan
+        collectives automatically) — the scaling axis for images larger
+        than one chip's HBM/compute (SURVEY §5 spatial axis)."""
+        self.shard_space = shard_space
         folded = fold_batchnorm(variables)
         self.model = model_cls(use_bn=False, dtype=compute_dtype)
         self.img_size = img_size
@@ -119,7 +124,9 @@ class QuantifyEngine:
         fetching batch k — overlapping device compute with host IO."""
         x = jnp.asarray(imgs_u8)
         if self.mesh is not None:
-            x = jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+            space_dim = 1 if self.shard_space else None
+            x = jax.device_put(
+                x, batch_sharding(self.mesh, x.ndim, space_dim=space_dim))
         return self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
