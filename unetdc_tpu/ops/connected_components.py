@@ -322,43 +322,57 @@ def _quantify_from_roots(mask, roots, min_area, max_labels,
     keys = jnp.where(fg, roots, n_pix).reshape(-1)
     rows = jnp.arange(n_pix, dtype=jnp.int32) // w
     cols = jnp.arange(n_pix, dtype=jnp.int32) % w
-    # split coordinates into low/high bytes so per-component sums stay
-    # exactly representable in int32 for images beyond ~1300px on a side
-    feats = jnp.stack([jnp.ones_like(rows), rows & 255, rows >> 8,
-                       cols & 255, cols >> 8], axis=-1)
+    # When a full-image component's coordinate sums can exceed int32
+    # (images beyond ~1300px on a side), split coordinates into low/high
+    # bytes — exactness at the cost of 2 extra scatter payloads. The common
+    # (<=~1290^2) case keeps the cheaper 3-payload scatter.
+    split = n_pix * max(h - 1, w - 1) >= 2 ** 31  # static
+    if split:
+        feats = jnp.stack([jnp.ones_like(rows), rows & 255, rows >> 8,
+                           cols & 255, cols >> 8], axis=-1)
+    else:
+        feats = jnp.stack([jnp.ones_like(rows), rows, cols], axis=-1)
     sums = jax.ops.segment_sum(feats, keys, num_segments=n_pix + 1)
 
     slot = jnp.where(is_root & (rank <= max_labels), rank, 0).reshape(-1)
     compact_root = jnp.zeros(cap, jnp.int32).at[slot].set(
         jnp.where(slot > 0, idx.reshape(-1), 0))
-    csums = sums[compact_root]  # (cap, 5)
+    csums = sums[compact_root]  # (cap, 3 or 5)
     slot_valid = (jnp.arange(cap) >= 1) & (jnp.arange(cap) <= n_total)
     area = jnp.where(slot_valid, csums[:, 0], 0)
 
     keep = slot_valid & (area >= min_area)
     new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
-    out = jnp.zeros((cap, 5), jnp.int32).at[new_label].set(
+    out = jnp.zeros((cap, csums.shape[1]), jnp.int32).at[new_label].set(
         jnp.where(keep[:, None], csums, 0))
+    if split:
+        s0_lo, s0_hi = out[1:, 1], out[1:, 2]
+        s1_lo, s1_hi = out[1:, 3], out[1:, 4]
+        pre0 = csums[:, 2].astype(jnp.float32) * 256.0 + csums[:, 1]
+        pre1 = csums[:, 4].astype(jnp.float32) * 256.0 + csums[:, 3]
+    else:
+        zero = jnp.zeros_like(out[1:, 0])
+        s0_lo, s0_hi = out[1:, 1], zero
+        s1_lo, s1_hi = out[1:, 2], zero
+        pre0 = csums[:, 1].astype(jnp.float32)
+        pre1 = csums[:, 2].astype(jnp.float32)
+    # NOTE: sum-N-lo/hi contract: total = hi * 256 + lo (hi is 0 when the
+    # single-payload path is exact)
     result = {
         "count": keep.sum().astype(jnp.int32),
         "total": n_total,
         "area": out[1:, 0],
-        "sum-0-lo": out[1:, 1],
-        "sum-0-hi": out[1:, 2],
-        "sum-1-lo": out[1:, 3],
-        "sum-1-hi": out[1:, 4],
+        "sum-0-lo": s0_lo,
+        "sum-0-hi": s0_hi,
+        "sum-1-lo": s1_lo,
+        "sum-1-hi": s1_hi,
     }
     if want_presieve:
         # pre-sieve table in raster order (labels as if min_area == 1);
         # f32 combination is fine for device consumers (heatmap centroids)
-        pre_area = jnp.where(slot_valid, csums[:, 0], 0)[1:]
-        result["all_area"] = pre_area
-        result["all_sum-0"] = jnp.where(
-            slot_valid, csums[:, 2].astype(jnp.float32) * 256.0
-            + csums[:, 1], 0.0)[1:]
-        result["all_sum-1"] = jnp.where(
-            slot_valid, csums[:, 4].astype(jnp.float32) * 256.0
-            + csums[:, 3], 0.0)[1:]
+        result["all_area"] = jnp.where(slot_valid, csums[:, 0], 0)[1:]
+        result["all_sum-0"] = jnp.where(slot_valid, pre0, 0.0)[1:]
+        result["all_sum-1"] = jnp.where(slot_valid, pre1, 0.0)[1:]
         result["all_count"] = jnp.minimum(n_total, max_labels)
     return result
 
