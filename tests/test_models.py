@@ -133,6 +133,29 @@ def test_roundtrip_state_dict():
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=0)
 
 
+def test_pth_reader_noncontiguous_and_dtypes(tmp_path):
+    """The torch-free reader must respect storage strides (non-contiguous
+    tensors) and non-f32 dtypes."""
+    from unetdc_tpu.checkpoint.pth import load_pth_state_dict
+
+    base = torch.arange(24, dtype=torch.float32).reshape(4, 6)
+    sd = {
+        "transposed": base.t(),                       # stride (1, 6)
+        "sliced": base[:, 1:5],                       # offset + stride
+        "long": torch.arange(5, dtype=torch.int64),
+        "half": torch.rand(3, 3).half(),
+        "bf16": torch.rand(3, 3).bfloat16(),
+        "bool": torch.tensor([True, False, True]),
+    }
+    p = tmp_path / "w.pth"
+    torch.save(sd, str(p))
+    out = load_pth_state_dict(str(p))
+    for k, v in sd.items():
+        expect = v.float().numpy() if k == "bf16" else v.numpy()
+        got = out[k].astype(np.float32) if k == "bf16" else out[k]
+        np.testing.assert_array_equal(got, expect, err_msg=k)
+
+
 def test_train_mode_batchnorm_updates():
     model = UNetDC()
     variables = init_params(model, input_shape=(1, 32, 32, 3))
