@@ -57,6 +57,58 @@ def test_hflip_applies(rng):
     np.testing.assert_allclose(np.asarray(i1), np.asarray(imgs)[:, :, ::-1])
 
 
+def test_rot90_matches_numpy_convention(rng):
+    """albumentations RandomRotate90 applies np.rot90(img, factor); with
+    p=1 and a fixed key the chosen k must act like np.rot90."""
+    from unetdc_tpu.data.augment import augment_batch
+
+    img = jnp.asarray(rng.rand(1, 8, 8, 3), jnp.float32)
+    mask = jnp.asarray(rng.rand(1, 8, 8) > 0.5, jnp.float32)
+    for key_i in range(6):
+        i1, m1 = augment_batch(jax.random.PRNGKey(key_i), img, mask,
+                               p_hflip=0.0, p_vflip=0.0, p_rot90=1.0,
+                               p_bc=0.0, p_elastic=0.0)
+        outs = [np.rot90(np.asarray(img)[0], k) for k in range(4)]
+        assert any(np.allclose(np.asarray(i1)[0], o) for o in outs), key_i
+        # mask rotated consistently with image
+        mouts = [np.rot90(np.asarray(mask)[0], k) for k in range(4)]
+        k_img = next(k for k in range(4)
+                     if np.allclose(np.asarray(i1)[0], outs[k]))
+        np.testing.assert_allclose(np.asarray(m1)[0], mouts[k_img])
+
+
+def test_brightness_contrast_formula(rng):
+    """albumentations RandomBrightnessContrast float semantics:
+    clip(img * (1 + c) + b, 0, 1); verify the transform stays within the
+    ±0.2 envelope and is exact for the sampled (c, b)."""
+    from unetdc_tpu.data.augment import augment_batch
+
+    img = jnp.asarray(rng.rand(1, 16, 16, 3) * 0.5 + 0.25, jnp.float32)
+    mask = jnp.zeros((1, 16, 16), jnp.float32)
+    i1, _ = augment_batch(jax.random.PRNGKey(3), img, mask,
+                          p_hflip=0.0, p_vflip=0.0, p_rot90=0.0, p_bc=1.0,
+                          p_elastic=0.0)
+    a = np.asarray(img)[0]
+    b = np.asarray(i1)[0]
+    # solve for (contrast, brightness) from two pixels; check global fit
+    x1, y1 = a[0, 0, 0], b[0, 0, 0]
+    x2, y2 = a[8, 8, 1], b[8, 8, 1]
+    alpha = (y1 - y2) / (x1 - x2)
+    beta = y1 - alpha * x1
+    assert 0.8 <= alpha <= 1.2 and -0.2 <= beta <= 0.2, (alpha, beta)
+    np.testing.assert_allclose(b, np.clip(a * alpha + beta, 0, 1), atol=1e-5)
+
+
+def test_elastic_displacement_is_subpixel_at_alpha1(rng):
+    """ElasticTransform(alpha=1, sigma=50): displacement magnitude must be
+    well below one pixel (smoothing normalizes the field)."""
+    from unetdc_tpu.data.augment import _elastic_displacement
+
+    dy, dx = _elastic_displacement(jax.random.PRNGKey(0), (64, 64), 1.0, 50.0)
+    assert float(jnp.abs(dy).max()) < 1.0
+    assert float(jnp.abs(dx).max()) < 1.0
+
+
 def test_diffmap_and_counts(rng):
     from unetdc_tpu.ops.diffmap import (create_difference_map,
                                         overlay_difference,
