@@ -129,10 +129,12 @@ def test_quantify_mask_matches_reference_semantics(rng):
     for k in range(1, n2 + 1):
         ys, xs = np.where(ref2 == k)
         assert stats["area"][k - 1] == len(ys)
-        assert (stats["sum-0-hi"][k - 1] * 256
-                + stats["sum-0-lo"][k - 1]) == ys.sum()
-        assert (stats["sum-1-hi"][k - 1] * 256
-                + stats["sum-1-lo"][k - 1]) == xs.sum()
+        def tot(axis, i):
+            lo = stats[f"sum-{axis}-lo"][i]
+            return lo + 256 * stats.get(f"sum-{axis}-hi", np.zeros(1))[
+                i if f"sum-{axis}-hi" in stats else 0]
+        assert tot(0, k - 1) == ys.sum()
+        assert tot(1, k - 1) == xs.sum()
     assert np.all(stats["area"][n2:] == 0)
 
 

@@ -24,7 +24,7 @@ def _make_outputs(tmp_path):
         "area": np.array([18224, 7, 42]),
         "sum-0-lo": s0 & 255, "sum-0-hi": s0 >> 8,
         "sum-1-lo": s1 & 255, "sum-1-hi": s1 >> 8,
-    }
+    }  # hi keys provided here; the small-image device path omits them
     df = props_to_dataframe(props, 3, px_per_um=3.45)
     df.insert(0, "filename", "image15.png")
     return df

@@ -38,7 +38,9 @@ def test_quantify_on_real_reference_masks(fname):
     for out_i, k in enumerate(kept):
         ys, xs = np.where(ref_lab == k)
         assert int(stats["area"][out_i]) == len(ys)
-        assert int(stats["sum-0-hi"][out_i]) * 256 \
-            + int(stats["sum-0-lo"][out_i]) == ys.sum()
-        assert int(stats["sum-1-hi"][out_i]) * 256 \
-            + int(stats["sum-1-lo"][out_i]) == xs.sum()
+        def tot(axis, i):
+            lo = int(stats[f"sum-{axis}-lo"][i])
+            hi = stats.get(f"sum-{axis}-hi")
+            return lo if hi is None else lo + 256 * int(hi[i])
+        assert tot(0, out_i) == ys.sum()
+        assert tot(1, out_i) == xs.sum()

@@ -345,28 +345,24 @@ def _quantify_from_roots(mask, roots, min_area, max_labels,
     new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
     out = jnp.zeros((cap, csums.shape[1]), jnp.int32).at[new_label].set(
         jnp.where(keep[:, None], csums, 0))
-    if split:
-        s0_lo, s0_hi = out[1:, 1], out[1:, 2]
-        s1_lo, s1_hi = out[1:, 3], out[1:, 4]
-        pre0 = csums[:, 2].astype(jnp.float32) * 256.0 + csums[:, 1]
-        pre1 = csums[:, 4].astype(jnp.float32) * 256.0 + csums[:, 3]
-    else:
-        zero = jnp.zeros_like(out[1:, 0])
-        s0_lo, s0_hi = out[1:, 1], zero
-        s1_lo, s1_hi = out[1:, 2], zero
-        pre0 = csums[:, 1].astype(jnp.float32)
-        pre1 = csums[:, 2].astype(jnp.float32)
-    # NOTE: sum-N-lo/hi contract: total = hi * 256 + lo (hi is 0 when the
-    # single-payload path is exact)
+    # sum-N-lo/hi contract: total = hi * 256 + lo; the hi keys are OMITTED
+    # on the single-payload (small-image) path — consumers treat a missing
+    # hi as zero, saving their transfer bytes
     result = {
         "count": keep.sum().astype(jnp.int32),
         "total": n_total,
         "area": out[1:, 0],
-        "sum-0-lo": s0_lo,
-        "sum-0-hi": s0_hi,
-        "sum-1-lo": s1_lo,
-        "sum-1-hi": s1_hi,
+        "sum-0-lo": out[1:, 1],
+        "sum-1-lo": out[1:, 3] if split else out[1:, 2],
     }
+    if split:
+        result["sum-0-hi"] = out[1:, 2]
+        result["sum-1-hi"] = out[1:, 4]
+        pre0 = csums[:, 2].astype(jnp.float32) * 256.0 + csums[:, 1]
+        pre1 = csums[:, 4].astype(jnp.float32) * 256.0 + csums[:, 3]
+    else:
+        pre0 = csums[:, 1].astype(jnp.float32)
+        pre1 = csums[:, 2].astype(jnp.float32)
     if want_presieve:
         # pre-sieve table in raster order (labels as if min_area == 1);
         # f32 combination is fine for device consumers (heatmap centroids)

@@ -109,7 +109,8 @@ class QuantifyEngine:
         out = {"mask_bits": packed, "count": stats["count"],
                "total": stats["total"], "area": stats["area"]}
         for k in ("sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi"):
-            out[k] = stats[k]
+            if k in stats:  # hi keys absent on the small-image exact path
+                out[k] = stats[k]
         if self._want_presieve:
             for k in ("all_area", "all_sum-0", "all_sum-1", "all_count"):
                 out[k] = stats[k]

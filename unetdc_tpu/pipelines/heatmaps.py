@@ -36,10 +36,11 @@ def _normalize01(x):
 
 
 def _combine_sums(stats, axis: int) -> jax.Array:
-    """f32-combined coordinate sums from the hi/lo byte split (exact for
-    the magnitudes device consumers need)."""
-    return (stats[f"sum-{axis}-hi"].astype(jnp.float32) * 256.0
-            + stats[f"sum-{axis}-lo"].astype(jnp.float32))
+    """f32-combined coordinate sums from the hi/lo byte split (hi absent on
+    the small-image exact path)."""
+    lo = stats[f"sum-{axis}-lo"].astype(jnp.float32)
+    hi = stats.get(f"sum-{axis}-hi")
+    return lo if hi is None else hi.astype(jnp.float32) * 256.0 + lo
 
 
 def _centroid_size_from_stats(stats, hw, max_labels: int) -> jax.Array:
@@ -231,7 +232,9 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
                 f"{name}_convoluted_density_heatmap_percentage.png",
                 cmap="hot", vmin=0, vmax=15)
 
-            props_i = {k: out[k][i] for k in ("area", "sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi")}
+            props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
+                                  "sum-0-hi", "sum-1-lo",
+                                  "sum-1-hi") if k in out}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)

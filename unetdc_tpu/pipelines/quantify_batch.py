@@ -50,10 +50,13 @@ def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
     area = np.asarray(props["area"][:n], np.int64)
     # f64 on host from exact integer device sums (hi/lo byte split) ==
     # skimage's f64 results bit-for-bit
-    sum0 = (np.asarray(props["sum-0-hi"][:n], np.int64) * 256
-            + np.asarray(props["sum-0-lo"][:n], np.int64))
-    sum1 = (np.asarray(props["sum-1-hi"][:n], np.int64) * 256
-            + np.asarray(props["sum-1-lo"][:n], np.int64))
+    def _sum(axis):
+        lo = np.asarray(props[f"sum-{axis}-lo"][:n], np.int64)
+        hi = props.get(f"sum-{axis}-hi")
+        return lo if hi is None else np.asarray(hi[:n], np.int64) * 256 + lo
+
+    sum0 = _sum(0)
+    sum1 = _sum(1)
     df = pd.DataFrame({
         "label": np.arange(1, n + 1, dtype=np.int64),
         "area": area,
@@ -150,7 +153,9 @@ class BatchQuantifyPipeline:
             from unetdc_tpu.io.native import encode_png_gray
 
             encode_png_gray(self.mask_dir / f"{name}_pred.png", mask * 255)
-            props_i = {k: out[k][i] for k in ("area", "sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi")}
+            props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
+                                  "sum-0-hi", "sum-1-lo",
+                                  "sum-1-hi") if k in out}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)
