@@ -132,6 +132,23 @@ def test_rolling_ball_true_variant():
     np.testing.assert_allclose(corr, img - ref_bg, atol=1e-3)
 
 
+def test_device_edt_matches_scipy(rng):
+    """Exact device EDT (min-plus separable passes) vs scipy, several
+    densities and rectangular shapes."""
+    from unetdc_tpu.ops.edt import distance_transform_edt
+
+    for shape, p in [((40, 56), 0.7), ((64, 80), 0.3), ((96, 64), 0.95),
+                     ((33, 47), 0.5)]:
+        m = rng.rand(*shape) < p
+        ref = ndi.distance_transform_edt(m)
+        ours = np.asarray(distance_transform_edt(m))
+        np.testing.assert_allclose(ours, ref, atol=1e-4,
+                                   err_msg=f"{shape} p={p}")
+    # degenerate cases
+    np.testing.assert_allclose(
+        np.asarray(distance_transform_edt(np.zeros((8, 8), bool))), 0.0)
+
+
 def test_watershed_custom_splits_touching_blobs():
     from unetdc_tpu.ops.watershed import watershed_custom
 
