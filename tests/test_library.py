@@ -149,6 +149,26 @@ def test_device_edt_matches_scipy(rng):
         np.asarray(distance_transform_edt(np.zeros((8, 8), bool))), 0.0)
 
 
+def test_device_peak_local_max_matches_host(rng):
+    """Device peak finder vs the host exact implementation on a
+    distinct-valued image (no intensity ties)."""
+    from unetdc_tpu.ops.edt import peak_local_max_device
+    from unetdc_tpu.ops.watershed import peak_local_max
+
+    img = ndi.gaussian_filter(rng.rand(64, 80), 3)
+    img += np.arange(64 * 80).reshape(64, 80) * 1e-9  # break any ties
+    region = np.ones_like(img, bool)
+    ref = peak_local_max(img, labels=region, min_distance=3)
+    coords, valid = peak_local_max_device(jnp.asarray(img, jnp.float32),
+                                          jnp.asarray(region), 3, 256)
+    ours = np.asarray(coords)[np.asarray(valid)]
+    ref_set = {tuple(c) for c in ref}
+    ours_set = {tuple(c) for c in ours}
+    # identical up to f32-vs-f64 intensity comparison noise at plateaus
+    assert len(ref_set ^ ours_set) <= max(1, len(ref_set) // 10), \
+        (sorted(ref_set), sorted(ours_set))
+
+
 def test_watershed_custom_splits_touching_blobs():
     from unetdc_tpu.ops.watershed import watershed_custom
 

@@ -55,3 +55,50 @@ def distance_transform_edt_sq(mask: jax.Array) -> jax.Array:
 def distance_transform_edt(mask) -> "jax.Array":
     """sqrt of the exact squared EDT (drop-in for scipy's function)."""
     return jnp.sqrt(distance_transform_edt_sq(jnp.asarray(mask)))
+
+
+@functools.partial(jax.jit, static_argnames=("min_distance", "max_peaks"))
+def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
+                          min_distance: int = 3, max_peaks: int = 1024):
+    """Device peak_local_max (skimage semantics subset used by the
+    reference watershed, algorithms.py:154): local maxima of `image` within
+    a (2*min_distance+1)^2 footprint restricted to `labels_mask`>0 and
+    image>0, then intensity-ordered greedy suppression at min_distance.
+
+    Returns (coords (max_peaks, 2) int32, valid (max_peaks,) bool). The
+    candidate set is capped at `max_peaks` via top_k (raise it for images
+    with more maxima). Tie-breaking among EQUAL intensities is near-raster
+    order but not exact (single f32 priority key) — the host
+    ops.watershed.peak_local_max remains the exact-parity implementation;
+    this is the fast path for distinct-valued images.
+    """
+    h, w = image.shape
+    size = 2 * min_distance + 1
+    img = image.astype(jnp.float32)
+    neg_inf = jnp.float32(-3.4e38)
+    maxf = jax.lax.reduce_window(
+        img, neg_inf, jax.lax.max,
+        window_dimensions=(size, size), window_strides=(1, 1),
+        padding=((min_distance, min_distance), (min_distance, min_distance)))
+    cand = (img == maxf) & (labels_mask > 0) & (img > 0)
+
+    # order: intensity desc, raster asc among ties — encode into one key
+    flat_idx = jnp.arange(h * w, dtype=jnp.float32)
+    key = jnp.where(cand.reshape(-1), img.reshape(-1) * (h * w + 1.0)
+                    - flat_idx, neg_inf)
+    topv, topi = jax.lax.top_k(key, max_peaks)
+    ok = topv > neg_inf / 2
+    ys = (topi // w).astype(jnp.int32)
+    xs = (topi % w).astype(jnp.int32)
+
+    # greedy suppression in priority order
+    def body(k, accepted):
+        y, x = ys[k], xs[k]
+        d2 = (ys - y) ** 2 + (xs - x) ** 2
+        conflict = jnp.any(accepted & (d2 < min_distance ** 2))
+        take = ok[k] & ~conflict
+        return accepted.at[k].set(take)
+
+    accepted = jax.lax.fori_loop(0, max_peaks, body,
+                                 jnp.zeros(max_peaks, bool))
+    return jnp.stack([ys, xs], axis=-1), accepted
