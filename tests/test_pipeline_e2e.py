@@ -156,6 +156,38 @@ def test_trainer_pth_export_roundtrip(tmp_path):
         np.asarray(orig))
 
 
+def test_mixed_image_sizes_bucketing(ckpt_and_model, tmp_path):
+    """Directories with multiple original sizes must produce per-size
+    correct artifacts (size-bucketed compilation, padded tail batches)."""
+    from PIL import Image
+
+    from unetdc_tpu.pipelines.engine import load_engine
+    from unetdc_tpu.pipelines.quantify_batch import BatchQuantifyPipeline
+
+    ckpt, _ = ckpt_and_model
+    rng = np.random.RandomState(9)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    sizes = {"a": (60, 72), "b": (96, 80), "c": (60, 72)}
+    for name, (h, w) in sizes.items():
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / f"{name}.png")
+
+    engine = load_engine(ckpt, fast=False)
+    engine.img_size = IMG_SIZE
+    out = tmp_path / "out"
+    pipe = BatchQuantifyPipeline(engine, str(out), batch=2, prob_thresh=0.3,
+                                 background_radius=10)
+    pipe.run(str(d), progress=False)
+    pipe.write_reports(skip_excel=True, skip_histogram=True)
+    for name, (h, w) in sizes.items():
+        mask = np.array(Image.open(out / "predicted_masks"
+                                   / f"{name}_pred.png"))
+        assert mask.shape == (h, w), name
+    summary = pd.read_csv(out / "summary_per_image.csv")
+    assert list(summary.filename) == ["a.png", "b.png", "c.png"]
+
+
 def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     """All-dark image -> no droplets -> header-only droplets CSV and zero
     summary row (reference behavior for empty DataFrames)."""
