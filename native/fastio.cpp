@@ -47,12 +47,21 @@ int decode_png_rgb(const char* path, int* w, int* h, unsigned char* out) {
     png_set_sig_bytes(png, 8);
     png_read_info(png, info);
 
-    *w = (int)png_get_image_width(png, info);
-    *h = (int)png_get_image_height(png, info);
+    int fw = (int)png_get_image_width(png, info);
+    int fh = (int)png_get_image_height(png, info);
     if (!out) {  // probe call
+        *w = fw;
+        *h = fh;
         png_destroy_read_struct(&png, &info, nullptr);
         fclose(fp);
         return 0;
+    }
+    // decode call: *w/*h carry the caller's buffer dims (from the probe);
+    // refuse to write if the file changed in between (TOCTOU guard)
+    if (fw != *w || fh != *h) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        fclose(fp);
+        return -6;
     }
 
     int color = png_get_color_type(png, info);
@@ -156,13 +165,21 @@ int decode_jpeg_rgb(const char* path, int* w, int* h, unsigned char* out) {
     jpeg_read_header(&cinfo, TRUE);
     cinfo.out_color_space = JCS_RGB;
     jpeg_start_decompress(&cinfo);
-    *w = (int)cinfo.output_width;
-    *h = (int)cinfo.output_height;
+    int fw = (int)cinfo.output_width;
+    int fh = (int)cinfo.output_height;
     if (!out) {
+        *w = fw;
+        *h = fh;
         jpeg_abort_decompress(&cinfo);
         jpeg_destroy_decompress(&cinfo);
         fclose(fp);
         return 0;
+    }
+    if (fw != *w || fh != *h) {  // TOCTOU guard (see PNG path)
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        fclose(fp);
+        return -6;
     }
     while (cinfo.output_scanline < cinfo.output_height) {
         unsigned char* row = out + (size_t)cinfo.output_scanline * (*w) * 3;

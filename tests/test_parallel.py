@@ -83,5 +83,38 @@ def test_mesh_construction_and_sharding_helpers():
     tree = replicate(mesh, {"w": np.ones(4)})
     assert tree["w"].sharding.spec == P()
 
+    m6 = make_mesh(3, 2)  # sub-mesh over 6 of 8 devices is allowed
+    assert dict(m6.shape) == {"data": 3, "space": 2}
     with pytest.raises(ValueError):
-        make_mesh(3, 2)
+        make_mesh(5, 2)  # 10 > 8 devices
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_data_parallel_matches_single_device(tmp_path):
+    """A data-parallel training step over a 4-device mesh must track the
+    single-device step (f32; reduction reordering tolerance only)."""
+    import numpy as np
+
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+    masks = jnp.asarray((rng.rand(4, 32, 32, 1) > 0.5), jnp.float32)
+
+    losses = []
+    for mesh in (None, make_mesh(4, 1)):
+        cfg = TrainConfig(model="unetdc", compute_dtype="f32", seed=0,
+                          img_size=32)
+        t = Trainer(cfg, mesh=mesh)
+        x, m = imgs, masks
+        if mesh is not None:
+            from unetdc_tpu.core.mesh import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(mesh, 4))
+            m = jax.device_put(m, batch_sharding(mesh, 4))
+        (_, _, _, loss, dice, _) = t._train_step(
+            t.variables["params"], t.variables["batch_stats"],
+            t.opt_state, x, m)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)

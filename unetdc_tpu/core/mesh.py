@@ -39,11 +39,12 @@ def make_mesh(
     n_total = len(devices)
     if n_data is None:
         n_data = n_total // n_space
-    if n_data * n_space != n_total:
+    need = n_data * n_space
+    if need > n_total or need == 0:
         raise ValueError(
-            f"mesh {n_data}x{n_space} does not cover {n_total} devices"
-        )
-    dev_array = np.asarray(devices).reshape(n_data, n_space)
+            f"mesh {n_data}x{n_space} needs {need} devices, "
+            f"have {n_total}")
+    dev_array = np.asarray(devices[:need]).reshape(n_data, n_space)
     return Mesh(dev_array, (DATA_AXIS, SPACE_AXIS))
 
 

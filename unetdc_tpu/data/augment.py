@@ -92,7 +92,7 @@ def _augment_one(key, img: jax.Array, mask: jax.Array,
                  p_hflip: float, p_vflip: float, p_rot90: float,
                  p_bc: float, p_elastic: float,
                  elastic_alpha: float, elastic_sigma: float):
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 9)
 
     do_h = jax.random.uniform(keys[0]) < p_hflip
     img = jnp.where(do_h, img[:, ::-1], img)
@@ -116,8 +116,8 @@ def _augment_one(key, img: jax.Array, mask: jax.Array,
 
     do_el = jax.random.uniform(keys[7]) < p_elastic
     h, w = mask.shape
-    dy, dx = _elastic_displacement(keys[7], (h, w), elastic_alpha,
-                                  elastic_sigma)
+    dy, dx = _elastic_displacement(keys[8], (h, w), elastic_alpha,
+                                   elastic_sigma)
     yy = jnp.arange(h, dtype=jnp.float32)[:, None] + dy
     xx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
     img_el = _remap_bilinear(img, yy, xx)

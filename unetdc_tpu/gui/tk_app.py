@@ -71,18 +71,22 @@ def main():  # pragma: no cover - requires a display
             return
 
         def worker():
-            bar.start()
-            try:
-                result = subprocess.run(cmd, capture_output=True, text=True)
+            # Tk is not thread-safe: all widget/dialog calls are marshaled
+            # back to the main loop via root.after
+            result = subprocess.run(cmd, capture_output=True, text=True)
+
+            def finish():
+                bar.stop()
                 if result.returncode == 0:
                     messagebox.showinfo("Done", "Quantification finished.")
                 else:
                     messagebox.showerror(
                         "Error", result.stderr.splitlines()[-1]
                         if result.stderr else "process failed")
-            finally:
-                bar.stop()
 
+            root.after(0, finish)
+
+        bar.start()
         threading.Thread(target=worker, daemon=True).start()
 
     tk.Button(root, text="Run", command=run_process).grid(row=9, column=1)

@@ -89,25 +89,44 @@ def _local_maxima_3d(cube: np.ndarray, threshold: float) -> np.ndarray:
     return np.argwhere(is_max)
 
 
+def _disk_overlap_fraction(d: float, r1: float, r2: float) -> float:
+    """Area of intersection of two disks / area of the smaller disk
+    (skimage._blob_overlap)."""
+    if d > r1 + r2:
+        return 0.0
+    if d <= abs(r1 - r2):
+        return 1.0
+    ratio1 = max(-1.0, min(1.0, (d * d + r1 * r1 - r2 * r2) / (2 * d * r1)))
+    ratio2 = max(-1.0, min(1.0, (d * d + r2 * r2 - r1 * r1) / (2 * d * r2)))
+    a = (r1 * r1 * math.acos(ratio1) + r2 * r2 * math.acos(ratio2)
+         - 0.5 * math.sqrt(abs((-d + r1 + r2) * (d + r1 - r2)
+                               * (d - r1 + r2) * (d + r1 + r2))))
+    return a / (math.pi * min(r1, r2) ** 2)
+
+
 def _prune_overlap(blobs: np.ndarray, overlap: float = 0.5) -> np.ndarray:
-    """Greedy overlap pruning like skimage._prune_blobs: if two blobs
-    overlap more than `overlap`, drop the weaker (here: smaller sigma)."""
+    """skimage._prune_blobs semantics: for every pair whose disk-overlap
+    area fraction exceeds `overlap`, eliminate the SMALLER-radius blob
+    (radius = sigma * sqrt(2), the 2D convention skimage applies in its
+    overlap test)."""
     if len(blobs) == 0:
-        return blobs
-    order = np.argsort(-blobs[:, 3])  # by response strength desc
-    keep = []
-    for i in order:
-        y, x, r = blobs[i, 0], blobs[i, 1], blobs[i, 2] * math.sqrt(2)
-        ok = True
-        for j in keep:
-            y2, x2, r2 = blobs[j, 0], blobs[j, 1], blobs[j, 2] * math.sqrt(2)
-            d = math.hypot(y - y2, x - x2)
-            if d < (r + r2):
-                ok = False
-                break
-        if ok:
-            keep.append(i)
-    return blobs[sorted(keep)][:, :3]
+        return blobs[:, :3] if blobs.ndim == 2 else blobs
+    blobs = blobs.copy()
+    n = len(blobs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if blobs[i, 2] == 0 or blobs[j, 2] == 0:
+                continue
+            r1 = blobs[i, 2] * math.sqrt(2)
+            r2 = blobs[j, 2] * math.sqrt(2)
+            d = math.hypot(blobs[i, 0] - blobs[j, 0],
+                           blobs[i, 1] - blobs[j, 1])
+            if _disk_overlap_fraction(d, r1, r2) > overlap:
+                if blobs[i, 2] > blobs[j, 2]:
+                    blobs[j, 2] = 0
+                else:
+                    blobs[i, 2] = 0
+    return blobs[blobs[:, 2] > 0][:, :3]
 
 
 def blob_log(image, min_sigma=1.0, max_sigma=50.0, num_sigma=10,

@@ -94,8 +94,9 @@ def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
     # greedy suppression in priority order
     def body(k, accepted):
         y, x = ys[k], xs[k]
-        d2 = (ys - y) ** 2 + (xs - x) ** 2
-        conflict = jnp.any(accepted & (d2 < min_distance ** 2))
+        # Chebyshev metric, <= spacing rejected (skimage ensure_spacing)
+        cheb = jnp.maximum(jnp.abs(ys - y), jnp.abs(xs - x))
+        conflict = jnp.any(accepted & (cheb <= min_distance))
         take = ok[k] & ~conflict
         return accepted.at[k].set(take)
 

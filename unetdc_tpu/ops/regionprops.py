@@ -31,10 +31,15 @@ def regionprops_table(labels: jax.Array, max_labels: int) -> Dict[str, jax.Array
       'centroid-1' (col). Entries with area == 0 are padding.
     """
     h, w = labels.shape
+    if h * w * max(h - 1, w - 1) >= 2 ** 31:
+        raise ValueError(
+            f"labels image {h}x{w} exceeds the exact-int32 coordinate-sum "
+            "bound (~1290px sides); use ops.connected_components."
+            "quantify_mask, which switches to a hi/lo coordinate split")
     flat = labels.reshape(-1)
     cap = max_labels + 1
 
-    # exact int32 sums (H*W <= 2^18, coord sums < 2^31): centroid division
+    # exact int32 sums (guarded above): centroid division
     # happens in f64 on the host report layer so CSV floats match skimage's
     # f64 computation bit-for-bit; f32 centroids provided for device users.
     rows = jnp.arange(h * w, dtype=jnp.int32) // w

@@ -51,14 +51,16 @@ def peak_local_max(image: np.ndarray, labels: np.ndarray = None,
     coords = np.argwhere(candidates)
     if len(coords) == 0:
         return coords
-    # sort by intensity (desc), suppress within min_distance (ensure_spacing)
+    # sort by intensity (desc), suppress within min_distance — skimage's
+    # ensure_spacing uses the Chebyshev metric (p_norm=inf) and rejects
+    # distance <= spacing
     order = np.argsort(-img[tuple(coords.T)], kind="stable")
     coords = coords[order]
     accepted: List[np.ndarray] = []
     for c in coords:
         ok = True
         for a in accepted:
-            if np.sum((c - a) ** 2) < min_distance ** 2:
+            if np.max(np.abs(c - a)) <= min_distance:
                 ok = False
                 break
         if ok:

@@ -1,5 +1,8 @@
 """Test-phase visualizations: difference maps + overlays per test image
-(train_DC_focal.py:406-449)."""
+(train_DC_focal.py:406-449). Masks resize with TRUE nearest (keyword
+interpolation at :422-423); the overlay base is the PREPROCESSED model
+input (rolling-ball-corrected) scaled back to [0,255] and INTER_LINEAR
+resized to original size (:439-444), not the raw file."""
 
 from __future__ import annotations
 
@@ -11,7 +14,7 @@ from PIL import Image
 
 from unetdc_tpu.data.dataset import Prefetcher, SegmentationData
 from unetdc_tpu.ops.diffmap import create_difference_map, overlay_difference
-from unetdc_tpu.ops.resize import resize_linear_u8_cv2exact
+from unetdc_tpu.ops.resize import resize_linear_u8, resize_nearest
 
 
 def run_test_phase(trainer, data: SegmentationData, diff_map_dir: str,
@@ -31,17 +34,21 @@ def run_test_phase(trainer, data: SegmentationData, diff_map_dir: str,
         oh, ow = batch["orig_size"]
         pred = (np.asarray(probs)[..., 0] > thresh).astype(np.uint8)
         true = np.asarray(m)[..., 0].astype(np.uint8)
+        imgs512 = np.asarray(x)
         for j in range(batch["n_valid"]):
-            pred_o = np.asarray(resize_linear_u8_cv2exact(
+            pred_o = np.asarray(resize_nearest(
                 jnp.asarray(pred[j]), (oh, ow)))
-            true_o = np.asarray(resize_linear_u8_cv2exact(
+            true_o = np.asarray(resize_nearest(
                 jnp.asarray(true[j]), (oh, ow)))
             diff = np.asarray(create_difference_map(
                 jnp.asarray(true_o), jnp.asarray(pred_o)))
             base = os.path.splitext(batch["filenames"][j])[0]
             Image.fromarray(diff).save(
                 os.path.join(diff_map_dir, f"{base}_diffmap.png"))
-            img_o = batch["images"][j]  # original-size uint8 image
+            img512 = np.clip(np.rint(imgs512[j] * 255.0), 0,
+                             255).astype(np.uint8)
+            img_o = np.asarray(resize_linear_u8(jnp.asarray(img512),
+                                                (oh, ow)))
             overlay = np.asarray(overlay_difference(
                 jnp.asarray(img_o), jnp.asarray(diff)))
             Image.fromarray(overlay).save(

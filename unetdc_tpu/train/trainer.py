@@ -94,6 +94,13 @@ class Trainer:
         else:
             self.tx = optax.adam(config.lr)
         self.opt_state = self.tx.init(self.variables["params"])
+        if mesh is not None:
+            # data-parallel: replicate params/opt state, shard batches;
+            # jit sharding propagation inserts the gradient psum
+            from unetdc_tpu.core.mesh import replicate
+
+            self.variables = replicate(mesh, self.variables)
+            self.opt_state = replicate(mesh, self.opt_state)
         if config.loss == "focal_dice":
             self.loss_fn = lambda z, t: focal_dice_loss_from_logits(
                 z, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio)
@@ -165,6 +172,12 @@ class Trainer:
     def _device_batch(self, batch):
         imgs = jnp.asarray(batch["images"])
         masks = jnp.asarray(batch["masks"])
+        if self.mesh is not None:
+            from unetdc_tpu.core.mesh import batch_sharding
+
+            imgs = jax.device_put(imgs, batch_sharding(self.mesh, imgs.ndim))
+            masks = jax.device_put(masks,
+                                   batch_sharding(self.mesh, masks.ndim))
         x, m = self._preprocess(imgs, masks, self.cfg.background_radius, True)
         return x, m[..., None]  # mask channel dim (utils/data_loader.py:66-68)
 
@@ -217,7 +230,9 @@ class Trainer:
 
     def _save_pred_masks(self, probs, batch, out_dir: str):
         """Reference val-mask saving (train_DC_focal.py:313-331): binarize
-        at 0.3, resize to original size, save {base}_pred.png. (The
+        at 0.3, resize to original size with TRUE nearest-neighbor (the
+        trainer uses keyword interpolation=INTER_NEAREST at :324, unlike
+        the inference scripts' dst-slot bug), save {base}_pred.png. (The
         reference only saves its last batch due to an indentation bug; we
         save every batch.)"""
         from PIL import Image
@@ -227,7 +242,7 @@ class Trainer:
         pred = (np.asarray(probs)[..., 0] > self.cfg.metric_thresh
                 ).astype(np.uint8)
         for j in range(batch["n_valid"]):
-            m = np.asarray(resize_linear_u8_cv2exact(
+            m = np.asarray(resize_nearest(
                 jnp.asarray(pred[j]), (oh, ow))) * 255
             base = os.path.splitext(batch["filenames"][j])[0]
             out_path = os.path.join(out_dir, f"{base}_pred.png")
@@ -257,10 +272,22 @@ class Trainer:
                     self.opt_state = serialization.from_bytes(
                         self.opt_state, f.read())
             meta = load_metadata(cfg.ckpt_path) or {}
-            start_epoch = int(meta.get("epoch", -1)) + 1
-            gate.best = float(meta.get("best_metric", 0.0))
+            state_path = cfg.ckpt_path + ".state.json"
+            if os.path.exists(state_path):
+                import json
+
+                st = json.load(open(state_path))
+                start_epoch = int(st["last_epoch"]) + 1
+                gate.best = st["best_metric"]
+                gate.counter = int(st["patience_counter"])
+                plateau_best = float(st.get("plateau_best", float("inf")))
+                plateau_count = int(st.get("plateau_count", 0))
+            else:  # older checkpoints: best-epoch metadata only
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                gate.best = float(meta.get("best_metric", 0.0))
             print(f"Resumed from {cfg.ckpt_path} at epoch {start_epoch} "
-                  f"(best val dice {gate.best:.4f})")
+                  f"(best val dice {(gate.best or 0.0):.4f}). NOTE: weights "
+                  "restored are the BEST checkpoint, not the last epoch's.")
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             tr_loss, tr_dice, tr_acc = self.run_epoch_train(train_data, epoch)
@@ -321,6 +348,14 @@ class Trainer:
                 if cfg.export_pth:
                     self._export_pth(cfg.export_pth)
                 print("Model saved!")
+            import json
+
+            with open(cfg.ckpt_path + ".state.json", "w") as f:
+                json.dump({"last_epoch": epoch,
+                           "best_metric": gate.best,
+                           "patience_counter": gate.counter,
+                           "plateau_best": plateau_best,
+                           "plateau_count": plateau_count}, f)
             if stop:
                 print("Early stopping!")
                 break
