@@ -184,6 +184,42 @@ def test_watershed_custom_splits_touching_blobs():
     assert all(d in dots for d in new_dots[:10])
 
 
+def test_device_watershed_matches_host_basins():
+    """Device minimax watershed vs the host priority-flood on touching
+    blobs: identical away from equal-pass-value ridge ties."""
+    from scipy import ndimage as ndi2
+
+    from unetdc_tpu.ops.edt import (distance_transform_edt_sq,
+                                    watershed_device)
+    from unetdc_tpu.ops.watershed import (peak_local_max, watershed)
+
+    m = np.zeros((48, 72), bool)
+    yy, xx = np.mgrid[:48, :72]
+    m |= (yy - 24) ** 2 + (xx - 24) ** 2 <= 100
+    m |= (yy - 24) ** 2 + (xx - 43) ** 2 <= 100
+
+    d2 = np.asarray(distance_transform_edt_sq(jnp.asarray(m)))
+    d = np.sqrt(d2)
+    coords = peak_local_max(d, labels=m, min_distance=3)
+    peaks = np.zeros_like(m)
+    peaks[tuple(coords.T)] = True
+    markers, _ = ndi2.label(peaks)
+
+    ref = watershed(-d, markers, mask=m)
+    # device heights: -d^2 shifted non-negative (order-equivalent to -d)
+    hmax = int(d2.max())
+    ours = np.asarray(watershed_device(
+        jnp.asarray(hmax - d2.astype(np.int32)), jnp.asarray(markers),
+        jnp.asarray(m)))
+    assert set(np.unique(ours)) == set(np.unique(ref))
+    # interiors (eroded basins) must agree exactly; only ridge ties may flip
+    diff = (ours != ref) & m
+    assert diff.mean() < 0.03, diff.sum()
+    for k in np.unique(ref)[1:]:
+        core = ndi2.binary_erosion(ref == k, iterations=2)
+        assert np.all(ours[core] == k), k
+
+
 def test_blob_detection_finds_planted_blobs(rng):
     img = np.zeros((64, 64), np.float32)
     yy, xx = np.mgrid[:64, :64]

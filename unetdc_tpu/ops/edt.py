@@ -57,6 +57,58 @@ def distance_transform_edt(mask) -> "jax.Array":
     return jnp.sqrt(distance_transform_edt_sq(jnp.asarray(mask)))
 
 
+@jax.jit
+def watershed_device(height: jax.Array, markers: jax.Array,
+                     mask: jax.Array) -> jax.Array:
+    """Marker-based watershed on device (EXPERIMENTAL).
+
+    Formulation: a pixel belongs to the marker reachable by the path whose
+    MAXIMUM height is smallest (the minimax/pass-value characterization of
+    watershed-without-lines). Computed by monotone 4-neighbor relaxation of
+    (cost, label) pairs to a fixpoint:
+        cost(p) <- min over neighbors q of max(cost(q), height(p))
+    with lexicographic (cost, label) tie-breaking. Equal-pass-value ties
+    therefore go to the LOWEST marker id — skimage's FIFO flooding can
+    split such plateau/ridge ties differently by a pixel, so this is the
+    fast device variant; ops.watershed.watershed remains the parity-exact
+    host implementation (used by watershed_custom).
+
+    Args: integer `height` (flood ascending), int32 `markers` (0 = none),
+    bool `mask`. Returns int32 labels (0 outside mask / unreached).
+    """
+    big = jnp.int32(2 ** 30)
+    m = mask.astype(bool)
+    h = height.astype(jnp.int32)
+    lab0 = jnp.where(m, markers.astype(jnp.int32), 0)
+    cost0 = jnp.where(lab0 > 0, h, big)
+
+    def shift(x, dy, dx, fill):
+        hh, ww = x.shape
+        pt, pb = max(-dy, 0), max(dy, 0)
+        pl, pr = max(-dx, 0), max(dx, 0)
+        padded = jnp.pad(x, ((pt, pb), (pl, pr)), constant_values=fill)
+        return padded[dy + pt: dy + pt + hh, dx + pl: dx + pl + ww]
+
+    def body(state):
+        cost, lab, _ = state
+        best_c, best_l = cost, lab
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nc = jnp.maximum(shift(cost, dy, dx, big), h)
+            nl = shift(lab, dy, dx, 0)
+            better = (nc < best_c) | ((nc == best_c) & (nl > 0)
+                                      & ((nl < best_l) | (best_l == 0)))
+            best_c = jnp.where(better, nc, best_c)
+            best_l = jnp.where(better, nl, best_l)
+        best_c = jnp.where(m, best_c, big)
+        best_l = jnp.where(m, best_l, 0)
+        changed = jnp.any((best_c != cost) | (best_l != lab))
+        return best_c, best_l, changed
+
+    _, lab, _ = jax.lax.while_loop(
+        lambda s: s[2], body, (cost0, lab0, jnp.bool_(True)))
+    return lab
+
+
 @functools.partial(jax.jit, static_argnames=("min_distance", "max_peaks"))
 def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
                           min_distance: int = 3, max_peaks: int = 1024):
