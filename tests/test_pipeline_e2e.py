@@ -211,3 +211,52 @@ def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     summary = pd.read_csv(out / "summary_per_image.csv")
     assert summary.loc[0, "droplet_count"] == 0
     assert summary.loc[0, "total_area_px"] == 0
+
+
+def test_component_overflow_raises(ckpt_and_model):
+    """Exceeding max_labels must raise with a clear message, not silently
+    truncate droplet tables."""
+    from unetdc_tpu.checkpoint import (load_pth_state_dict,
+                                       torch_state_dict_to_variables)
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    ckpt, _ = ckpt_and_model
+    variables = torch_state_dict_to_variables(load_pth_state_dict(ckpt))
+    engine = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                            max_labels=4, img_size=IMG_SIZE)
+    fake = {"mask_bits": np.zeros((1, 512), np.uint8),
+            "count": np.array([4]), "total": np.array([10]),
+            "area": np.zeros((1, 4), np.int32),
+            "sum-0-lo": np.zeros((1, 4), np.int32),
+            "sum-1-lo": np.zeros((1, 4), np.int32)}
+    with pytest.raises(RuntimeError, match="max_labels"):
+        engine.fetch_batch(fake, (64, 64))
+
+
+def test_mixed_size_training_batches(tmp_path):
+    """SegmentationData groups same-size samples into batches."""
+    from PIL import Image
+
+    from unetdc_tpu.data.dataset import SegmentationData
+
+    rng = np.random.RandomState(2)
+    img_dir = tmp_path / "i"
+    mask_dir = tmp_path / "m"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    sizes = [(32, 40), (48, 48), (32, 40), (32, 40)]
+    names = []
+    for i, (h, w) in enumerate(sizes):
+        name = f"s{i}.png"
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            img_dir / name)
+        Image.fromarray(((rng.rand(h, w) > 0.5) * 255).astype(np.uint8)
+                        ).save(mask_dir / name)
+        names.append(name)
+    data = SegmentationData(str(img_dir), str(mask_dir), names, names,
+                            batch_size=4)
+    batches = list(data.batches())
+    for b in batches:
+        assert b["images"].shape[1:3] == b["orig_size"]
+    total = sum(b["n_valid"] for b in batches)
+    assert total == 4

@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over N chips (0 = single chip)")
     p.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="write a jax.profiler TensorBoard trace to LOG_DIR")
+    p.add_argument("--max_labels", type=int, default=4096,
+                   help="per-image component capacity of the droplet tables")
     return p
 
 
@@ -55,7 +57,8 @@ def main(argv=None):
 
     mesh = make_mesh(args.data_parallel) if args.data_parallel else None
     engine = load_engine(args.ckpt_path, mesh=mesh,
-                         fast=(args.precision == "bf16"))
+                         fast=(args.precision == "bf16"),
+                         max_labels=args.max_labels)
     pipe = BatchQuantifyPipeline(
         engine, args.out_dir, batch=args.batch, prob_thresh=args.prob_thresh,
         min_area=args.min_area, px_per_micron=args.px_per_micron,
