@@ -73,16 +73,20 @@ def main():  # pragma: no cover - requires a display
         def worker():
             # Tk is not thread-safe: all widget/dialog calls are marshaled
             # back to the main loop via root.after
-            result = subprocess.run(cmd, capture_output=True, text=True)
+            try:
+                result = subprocess.run(cmd, capture_output=True, text=True)
+                rc = result.returncode
+                err = (result.stderr.splitlines()[-1]
+                       if result.stderr else "process failed")
+            except Exception as e:  # spawn failure etc.
+                rc, err = -1, str(e)
 
             def finish():
                 bar.stop()
-                if result.returncode == 0:
+                if rc == 0:
                     messagebox.showinfo("Done", "Quantification finished.")
                 else:
-                    messagebox.showerror(
-                        "Error", result.stderr.splitlines()[-1]
-                        if result.stderr else "process failed")
+                    messagebox.showerror("Error", err)
 
             root.after(0, finish)
 

@@ -65,13 +65,14 @@ def watershed_device(height: jax.Array, markers: jax.Array,
     Formulation: a pixel belongs to the marker reachable by the path whose
     MAXIMUM height is smallest (the minimax/pass-value characterization of
     watershed-without-lines). Computed by monotone 4-neighbor relaxation of
-    (cost, label) pairs to a fixpoint:
+    (cost, geodesic-steps, label) triples to a fixpoint:
         cost(p) <- min over neighbors q of max(cost(q), height(p))
-    with lexicographic (cost, label) tie-breaking. Equal-pass-value ties
-    therefore go to the LOWEST marker id — skimage's FIFO flooding can
-    split such plateau/ridge ties differently by a pixel, so this is the
-    fast device variant; ops.watershed.watershed remains the parity-exact
-    host implementation (used by watershed_custom).
+    Ties on pass value break by fewest geodesic steps from the marker
+    (plateaus split BFS-like, as skimage's FIFO flooding does), then by
+    lowest marker id. Marker pixels are pinned (every marker id survives).
+    Exact skimage FIFO order can still differ on equidistant ridge pixels;
+    ops.watershed.watershed remains the parity-exact host implementation
+    (used by watershed_custom).
 
     Args: integer `height` (flood ascending), int32 `markers` (0 = none),
     bool `mask`. Returns int32 labels (0 outside mask / unreached).
@@ -79,8 +80,10 @@ def watershed_device(height: jax.Array, markers: jax.Array,
     big = jnp.int32(2 ** 30)
     m = mask.astype(bool)
     h = height.astype(jnp.int32)
-    lab0 = jnp.where(m, markers.astype(jnp.int32), 0)
-    cost0 = jnp.where(lab0 > 0, h, big)
+    is_marker = m & (markers > 0)
+    lab0 = jnp.where(is_marker, markers.astype(jnp.int32), 0)
+    cost0 = jnp.where(is_marker, h, big)
+    dist0 = jnp.where(is_marker, 0, big)
 
     def shift(x, dy, dx, fill):
         hh, ww = x.shape
@@ -90,22 +93,30 @@ def watershed_device(height: jax.Array, markers: jax.Array,
         return padded[dy + pt: dy + pt + hh, dx + pl: dx + pl + ww]
 
     def body(state):
-        cost, lab, _ = state
-        best_c, best_l = cost, lab
+        cost, dist, lab, _ = state
+        best_c, best_d, best_l = cost, dist, lab
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
             nc = jnp.maximum(shift(cost, dy, dx, big), h)
+            nd = jnp.minimum(shift(dist, dy, dx, big) + 1, big)
             nl = shift(lab, dy, dx, 0)
-            better = (nc < best_c) | ((nc == best_c) & (nl > 0)
-                                      & ((nl < best_l) | (best_l == 0)))
+            better = (nl > 0) & (
+                (nc < best_c)
+                | ((nc == best_c) & (nd < best_d))
+                | ((nc == best_c) & (nd == best_d)
+                   & ((nl < best_l) | (best_l == 0))))
             best_c = jnp.where(better, nc, best_c)
+            best_d = jnp.where(better, nd, best_d)
             best_l = jnp.where(better, nl, best_l)
-        best_c = jnp.where(m, best_c, big)
-        best_l = jnp.where(m, best_l, 0)
-        changed = jnp.any((best_c != cost) | (best_l != lab))
-        return best_c, best_l, changed
+        # markers are pinned; outside the mask nothing propagates
+        best_c = jnp.where(is_marker, h, jnp.where(m, best_c, big))
+        best_d = jnp.where(is_marker, 0, jnp.where(m, best_d, big))
+        best_l = jnp.where(is_marker, lab0, jnp.where(m, best_l, 0))
+        changed = jnp.any((best_c != cost) | (best_l != lab)
+                          | (best_d != dist))
+        return best_c, best_d, best_l, changed
 
-    _, lab, _ = jax.lax.while_loop(
-        lambda s: s[2], body, (cost0, lab0, jnp.bool_(True)))
+    _, _, lab, _ = jax.lax.while_loop(
+        lambda s: s[3], body, (cost0, dist0, lab0, jnp.bool_(True)))
     return lab
 
 
@@ -146,9 +157,10 @@ def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
     # greedy suppression in priority order
     def body(k, accepted):
         y, x = ys[k], xs[k]
-        # Chebyshev metric, <= spacing rejected (skimage ensure_spacing)
+        # Chebyshev metric, strictly < spacing rejected (skimage
+        # ensure_spacing keeps points at exactly `spacing`)
         cheb = jnp.maximum(jnp.abs(ys - y), jnp.abs(xs - x))
-        conflict = jnp.any(accepted & (cheb <= min_distance))
+        conflict = jnp.any(accepted & (cheb < min_distance))
         take = ok[k] & ~conflict
         return accepted.at[k].set(take)
 

@@ -53,14 +53,14 @@ def peak_local_max(image: np.ndarray, labels: np.ndarray = None,
         return coords
     # sort by intensity (desc), suppress within min_distance — skimage's
     # ensure_spacing uses the Chebyshev metric (p_norm=inf) and rejects
-    # distance <= spacing
+    # strictly d < spacing (points at exactly `spacing` are kept)
     order = np.argsort(-img[tuple(coords.T)], kind="stable")
     coords = coords[order]
     accepted: List[np.ndarray] = []
     for c in coords:
         ok = True
         for a in accepted:
-            if np.max(np.abs(c - a)) <= min_distance:
+            if np.max(np.abs(c - a)) < min_distance:
                 ok = False
                 break
         if ok:

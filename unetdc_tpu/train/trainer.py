@@ -173,8 +173,19 @@ class Trainer:
         imgs = jnp.asarray(batch["images"])
         masks = jnp.asarray(batch["masks"])
         if self.mesh is not None:
-            from unetdc_tpu.core.mesh import batch_sharding
+            from unetdc_tpu.core.mesh import DATA_AXIS, batch_sharding
 
+            # pad ragged tail batches to a shardable size by replicating
+            # the last sample (tiny, shuffled-away gradient bias; the
+            # alternative — crashing on non-divisible splits — is worse)
+            n_data = self.mesh.shape[DATA_AXIS]
+            rem = imgs.shape[0] % n_data
+            if rem:
+                pad = n_data - rem
+                imgs = jnp.concatenate(
+                    [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
+                masks = jnp.concatenate(
+                    [masks, jnp.repeat(masks[-1:], pad, axis=0)])
             imgs = jax.device_put(imgs, batch_sharding(self.mesh, imgs.ndim))
             masks = jax.device_put(masks,
                                    batch_sharding(self.mesh, masks.ndim))
@@ -278,9 +289,11 @@ class Trainer:
 
                 st = json.load(open(state_path))
                 start_epoch = int(st["last_epoch"]) + 1
-                gate.best = st["best_metric"]
+                gate.best = (float(st["best_metric"])
+                             if st["best_metric"] is not None else None)
                 gate.counter = int(st["patience_counter"])
-                plateau_best = float(st.get("plateau_best", float("inf")))
+                pb = st.get("plateau_best")
+                plateau_best = float(pb) if pb is not None else float("inf")
                 plateau_count = int(st.get("plateau_count", 0))
             else:  # older checkpoints: best-epoch metadata only
                 start_epoch = int(meta.get("epoch", -1)) + 1
@@ -354,7 +367,7 @@ class Trainer:
                 json.dump({"last_epoch": epoch,
                            "best_metric": gate.best,
                            "patience_counter": gate.counter,
-                           "plateau_best": plateau_best,
+                           "plateau_best": (plateau_best if plateau_best != float("inf") else None),
                            "plateau_count": plateau_count}, f)
             if stop:
                 print("Early stopping!")
