@@ -237,3 +237,27 @@ def test_component_areas(rng):
     ref, n_ref = ndi.label(m, structure=STRUCT_4)
     for k in range(1, int(n) + 1):
         assert areas[k] == (ref == k).sum()
+
+
+def test_quantify_mask_batch_fuzz():
+    """Fuzz the fused batched quantify against the scipy reference for
+    several seeds/min_areas."""
+    from unetdc_tpu.ops.connected_components import quantify_mask_batch
+
+    for seed, min_area in [(0, 1), (1, 3), (2, 7), (3, 2)]:
+        r = np.random.RandomState(seed)
+        m = (r.rand(3, 40, 56) < r.uniform(0.15, 0.6)).astype(np.uint8)
+        stats = quantify_mask_batch(jnp.asarray(m), jnp.int32(min_area), 1024)
+        for i in range(3):
+            ref, n0 = ndi.label(m[i], structure=STRUCT_4)
+            assert int(stats["total"][i]) == n0, (seed, i)
+            for lv in np.unique(ref):
+                if lv and (ref == lv).sum() < min_area:
+                    ref[ref == lv] = 0
+            ref2, n2 = ndi.label(ref > 0, structure=STRUCT_4)
+            assert int(stats["count"][i]) == n2, (seed, i)
+            for k in range(1, n2 + 1):
+                ys, xs = np.where(ref2 == k)
+                assert int(stats["area"][i][k - 1]) == len(ys)
+                assert int(stats["sum-0-lo"][i][k - 1]) == ys.sum()
+                assert int(stats["sum-1-lo"][i][k - 1]) == xs.sum()

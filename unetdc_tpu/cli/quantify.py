@@ -24,6 +24,8 @@ def build_parser():
     p.add_argument("--contour_min_size", type=int, default=20)
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--max_labels", type=int, default=4096,
+                   help="per-image component table capacity")
     return p
 
 
@@ -48,7 +50,7 @@ def main(argv=None):
     engine = BlobInspectorEngine(
         variables,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-        else jnp.float32, mesh=mesh,
+        else jnp.float32, mesh=mesh, max_labels=args.max_labels,
         kernel_size=args.kernel_size, nb_layers=args.nb_layers,
         contour_thresh=args.contour_thresh,
         contour_min_size=args.contour_min_size)

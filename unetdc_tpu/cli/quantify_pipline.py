@@ -19,6 +19,8 @@ def build_parser():
     p.add_argument("--save_overlays", action="store_true")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--max_labels", type=int, default=4096,
+                   help="per-image component table capacity")
     return p
 
 
@@ -43,7 +45,7 @@ def main(argv=None):
     engine = HeatmapV1Engine(
         variables,
         compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-        else jnp.float32, mesh=mesh)
+        else jnp.float32, mesh=mesh, max_labels=args.max_labels)
     pipe = HeatmapV1Pipeline(
         engine, args.out_dir, batch=args.batch, prob_thresh=args.prob_thresh,
         min_area=args.min_area, px_per_micron=args.px_per_micron,

@@ -19,6 +19,8 @@ def build_parser():
     p.add_argument("--export_pth", default=None)
     p.add_argument("--val_masks_dir", default="predicted_val_masks")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--img_size", type=int, default=512,
+                   help="network input size (reference: 512)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--data_parallel", type=int, default=0)
@@ -48,6 +50,7 @@ def main(argv=None):
     cfg = TrainConfig(
         model="unet", loss="combined", lr=args.lr, num_epochs=args.epochs,
         patience=args.patience, batch_size=args.batch, seed=args.seed,
+        img_size=args.img_size,
         ckpt_path=args.ckpt_path, export_pth=args.export_pth,
         save_val_masks_dir=args.val_masks_dir, compute_dtype=args.precision,
         augment=not args.no_augment,

@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--diff_map_dir", default="differences_map_test")
     p.add_argument("--overlay_dir", default="overlay_diff_test")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--img_size", type=int, default=512,
+                   help="network input size (reference: 512)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--plateau_scheduler", action="store_true",
@@ -66,7 +68,8 @@ def main(argv=None):
     cfg = TrainConfig(
         model="unetdc", loss="focal_dice", focal_ratio=args.focal_ratio,
         lr=args.lr, num_epochs=args.epochs, patience=args.patience,
-        batch_size=args.batch, seed=args.seed, ckpt_path=args.ckpt_path,
+        batch_size=args.batch, seed=args.seed,
+        img_size=args.img_size, ckpt_path=args.ckpt_path,
         export_pth=args.export_pth, save_val_masks_dir=args.val_masks_dir,
         plateau_scheduler=args.plateau_scheduler,
         compute_dtype=args.precision, augment=not args.no_augment,
