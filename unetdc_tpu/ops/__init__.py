@@ -39,6 +39,12 @@ from unetdc_tpu.ops.roi import (  # noqa: F401
     moments_centroid,
     rgb2gray_cv2,
 )
+from unetdc_tpu.ops.edt import (  # noqa: F401
+    distance_transform_edt,
+    distance_transform_edt_sq,
+    peak_local_max_device,
+    watershed_device,
+)
 from unetdc_tpu.ops.diffmap import (  # noqa: F401
     create_difference_map,
     overlay_difference,
