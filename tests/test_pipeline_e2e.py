@@ -21,10 +21,12 @@ IMG_SIZE = 128
 PX_PER_UM = 3.45
 
 
-@pytest.fixture(scope="module")
-def ckpt_and_model(tmp_path_factory):
-    path = tmp_path_factory.mktemp("ckpt") / "ref.pth"
-    model = make_decisive_checkpoint(str(path))
+@pytest.fixture(scope="module", params=[0, 11])
+def ckpt_and_model(tmp_path_factory, request):
+    """Two independent random decisive checkpoints: the bit-exactness claim
+    must hold across different mask geometries."""
+    path = tmp_path_factory.mktemp("ckpt") / f"ref{request.param}.pth"
+    model = make_decisive_checkpoint(str(path), seed=request.param)
     return str(path), model
 
 
