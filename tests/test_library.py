@@ -234,3 +234,30 @@ def test_blob_detection_finds_planted_blobs(rng):
                    for f in found), (c, found)
     mask = L.blobs_mask(img, blobs)
     assert mask.any()
+
+
+def test_native_watershed_matches_python_flood():
+    """native/libalgo.so priority-flood must be EXACTLY the Python heap
+    flood (same (height, insertion-order) pops), incl. tie-heavy heights
+    and markers outside the mask (dropped in both)."""
+    from unetdc_tpu.ops.watershed import (_load_algo, watershed,
+                                          watershed_python)
+
+    if _load_algo() is None:
+        import pytest
+
+        pytest.skip("native libalgo unavailable")
+    r = np.random.RandomState(7)
+    for _ in range(4):
+        H, W = r.randint(24, 64), r.randint(24, 64)
+        mask = r.rand(H, W) > 0.4
+        height = -r.randint(0, 6, (H, W)).astype(np.float64)
+        markers = np.where((r.rand(H, W) > 0.92) & mask,
+                           r.randint(1, 7, (H, W)), 0).astype(np.int32)
+        np.testing.assert_array_equal(
+            watershed(height, markers, mask),
+            watershed_python(height, markers, mask))
+        m2 = markers.copy()
+        m2[~mask] = 5  # markers outside region must be dropped
+        np.testing.assert_array_equal(
+            watershed(height, m2, mask), watershed_python(height, m2, mask))

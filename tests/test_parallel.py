@@ -108,13 +108,109 @@ def test_trainer_data_parallel_matches_single_device(tmp_path):
                           img_size=32)
         t = Trainer(cfg, mesh=mesh)
         x, m = imgs, masks
+        valid = jnp.ones(4, jnp.float32)
         if mesh is not None:
             from unetdc_tpu.core.mesh import batch_sharding
 
             x = jax.device_put(x, batch_sharding(mesh, 4))
             m = jax.device_put(m, batch_sharding(mesh, 4))
+            valid = jax.device_put(valid, batch_sharding(mesh, 1))
         (_, _, _, loss, dice, _) = t._train_step(
             t.variables["params"], t.variables["batch_stats"],
-            t.opt_state, x, m)
+            t.opt_state, x, m, valid)
         losses.append(float(loss))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+@pytest.fixture
+def tiny_disk_dataset(tmp_path):
+    from PIL import Image
+
+    r = np.random.RandomState(5)
+    img_dir = tmp_path / "imgs"
+    mask_dir = tmp_path / "msks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    for i in range(6):
+        img = (r.rand(40, 40, 3) * 255).astype(np.uint8)
+        mask = ((r.rand(40, 40) > 0.6) * 255).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"s{i}.png")
+        Image.fromarray(mask).save(mask_dir / f"s{i}.png")
+    return str(img_dir), str(mask_dir)
+
+
+def _make_data(img_dir, mask_dir, batch_size):
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+
+    images, masks = discover_pairs(img_dir, mask_dir)
+    return SegmentationData(img_dir, mask_dir, images, masks,
+                            batch_size=batch_size)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ragged_dp_epoch_metrics_match_single_device(tiny_disk_dataset):
+    """6 samples / batch 4 -> a ragged tail of 2 that a 4-device mesh pads
+    with 2 replicas. Validity weights must exclude the padding from loss,
+    dice, accuracy, confusion counts AND BatchNorm statistics, so epoch
+    metrics equal the single-device run (VERDICT r1 item 4)."""
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_disk_dataset
+    results = []
+    for mesh in (None, make_mesh(4, 1)):
+        cfg = TrainConfig(model="unetdc", loss="focal_dice", batch_size=4,
+                          img_size=32, compute_dtype="f32",
+                          background_radius=10, augment=False, seed=0)
+        t = Trainer(cfg, mesh=mesh)
+        data = _make_data(img_dir, mask_dir, 4)
+        ev = t.run_epoch_eval(data)
+        tr = t.run_epoch_train(data, epoch=0)
+        results.append((ev, tr))
+    (ev0, tr0), (ev1, tr1) = results
+    # eval: loss, dice, acc, confusion counts
+    np.testing.assert_allclose(ev0[0], ev1[0], rtol=1e-5)
+    np.testing.assert_allclose(ev0[1], ev1[1], rtol=1e-5)
+    np.testing.assert_allclose(ev0[2], ev1[2], rtol=0, atol=0)  # exact int
+    np.testing.assert_array_equal(ev0[3], ev1[3])  # confusion counts exact
+    # train: loss/dice/acc track (BN stats masked; psum reorder tolerance)
+    np.testing.assert_allclose(tr0[0], tr1[0], rtol=1e-4)
+    np.testing.assert_allclose(tr0[1], tr1[1], rtol=1e-4)
+    np.testing.assert_allclose(tr0[2], tr1[2], rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_fit_multi_epoch_dp(tiny_disk_dataset, tmp_path):
+    """Full Trainer.fit — 2 epochs, ragged batches, checkpoint + resume —
+    on a (2,2) data+space mesh vs single device (VERDICT r1 item 8)."""
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_disk_dataset
+    hists = []
+    for tag, mesh, shard_space in (
+            ("single", None, False), ("dp_sp", make_mesh(2, 2), True)):
+        ckpt = tmp_path / f"{tag}.msgpack"
+        cfg = TrainConfig(model="unetdc", loss="focal_dice", num_epochs=2,
+                          patience=50, batch_size=4, img_size=32,
+                          ckpt_path=str(ckpt), compute_dtype="f32",
+                          background_radius=10, augment=False, seed=0,
+                          shard_space=shard_space)
+        t = Trainer(cfg, mesh=mesh)
+        data = _make_data(img_dir, mask_dir, 4)
+        hist = t.fit(data, data)
+        assert ckpt.exists()
+        hists.append(hist)
+        # resume continues from epoch 2 on the same mesh
+        cfg2 = TrainConfig(model="unetdc", loss="focal_dice", num_epochs=3,
+                           patience=50, batch_size=4, img_size=32,
+                           ckpt_path=str(ckpt), compute_dtype="f32",
+                           background_radius=10, augment=False, seed=0,
+                           shard_space=shard_space, resume=True)
+        t2 = Trainer(cfg2, mesh=mesh)
+        h2 = t2.fit(data, data)
+        assert len(h2["train_loss"]) == 1  # only epoch 3 ran
+        assert np.isfinite(h2["train_loss"][0])
+    h0, h1 = hists
+    np.testing.assert_allclose(h0["train_loss"], h1["train_loss"], rtol=2e-4)
+    np.testing.assert_allclose(h0["val_dice"], h1["val_dice"], rtol=2e-4)

@@ -39,6 +39,9 @@ def build_parser():
                    help="actually step ReduceLROnPlateau (the reference "
                         "configures but never calls it)")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--shard_space", type=int, default=1,
+                   help="additionally shard image height over this many "
+                        "devices (mesh = data_parallel x shard_space)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (larger batches)")
     p.add_argument("--resume", action="store_true",
@@ -46,6 +49,13 @@ def build_parser():
     p.add_argument("--history_jsonl", default=None,
                    help="append per-epoch metrics as JSONL")
     p.add_argument("--skip_test", action="store_true")
+    p.add_argument("--extra_test_viz", action="store_true",
+                   help="also run the reference's extra test-set "
+                        "visualization passes (train_DC_focal.py:506-611): "
+                        "predicted_masks_test/ dump + triptych figures")
+    p.add_argument("--extra_viz_dir", default=".",
+                   help="directory for the extra visualization artifacts "
+                        "(the reference writes them to the CWD)")
     return p
 
 
@@ -64,7 +74,8 @@ def main(argv=None):
     print(f"Validation set: {len(va_i)} images")
     print(f"Testing set: {len(te_i)} images")
 
-    mesh = make_mesh(args.data_parallel) if args.data_parallel else None
+    mesh = (make_mesh(args.data_parallel, args.shard_space)
+            if args.data_parallel else None)
     cfg = TrainConfig(
         model="unetdc", loss="focal_dice", focal_ratio=args.focal_ratio,
         lr=args.lr, num_epochs=args.epochs, patience=args.patience,
@@ -74,7 +85,7 @@ def main(argv=None):
         plateau_scheduler=args.plateau_scheduler,
         compute_dtype=args.precision, augment=not args.no_augment,
         resume=args.resume, history_jsonl=args.history_jsonl,
-        remat=args.remat)
+        remat=args.remat, shard_space=args.shard_space > 1)
     trainer = Trainer(cfg, mesh=mesh)
 
     mk = lambda il, ml, sh: SegmentationData(
@@ -105,6 +116,11 @@ def main(argv=None):
     plot_binary_confusion_matrix_with_metrics(cm, te_acc)
     run_test_phase(trainer, mk(te_i, te_m, False), args.diff_map_dir,
                    args.overlay_dir)
+    if args.extra_test_viz:
+        from unetdc_tpu.train.test_phase import run_extra_test_visualizations
+
+        run_extra_test_visualizations(trainer, mk(te_i, te_m, False),
+                                      args.extra_viz_dir)
 
 
 if __name__ == "__main__":

@@ -21,14 +21,26 @@ import numpy as np
 
 @jax.jit
 def confusion_counts(y_true: jax.Array, y_pred_probs: jax.Array,
-                     thresh: float = 0.3) -> jax.Array:
-    """Returns int64-safe f64-free counts [tn, fp, fn, tp] (int32 on TPU)."""
+                     thresh: float = 0.3,
+                     sample_mask: jax.Array = None) -> jax.Array:
+    """Returns int64-safe f64-free counts [tn, fp, fn, tp] (int32 on TPU).
+
+    ``sample_mask`` (B,) bool optionally restricts counting to valid samples
+    (DP ragged-tail padding replicas are excluded with mask=False)."""
     yp = (y_pred_probs > thresh)
     yt = (y_true > 0.5)
-    tp = jnp.sum(yp & yt)
-    fp = jnp.sum(yp & ~yt)
-    fn = jnp.sum(~yp & yt)
-    tn = jnp.sum(~yp & ~yt)
+    if sample_mask is not None:
+        v = sample_mask.reshape((-1,) + (1,) * (yp.ndim - 1))
+        yp, yt = yp & v, yt & v
+        tp = jnp.sum(yp & yt)
+        fp = jnp.sum(yp & ~yt & v)
+        fn = jnp.sum(~yp & yt & v)
+        tn = jnp.sum(~yp & ~yt & v)
+    else:
+        tp = jnp.sum(yp & yt)
+        fp = jnp.sum(yp & ~yt)
+        fn = jnp.sum(~yp & yt)
+        tn = jnp.sum(~yp & ~yt)
     return jnp.stack([tn, fp, fn, tp])
 
 

@@ -51,7 +51,11 @@ class DoubleConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
+        """``sample_mask`` (B,) bool excludes samples (e.g. DP ragged-tail
+        padding replicas) from the batch statistics in train mode, so padded
+        batches normalize and update running stats exactly as the unpadded
+        batch would."""
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -65,6 +69,10 @@ class DoubleConv(nn.Module):
                 # BatchNorm statistics always in f32: flax's fast-variance
                 # (E[x^2] - E[x]^2) goes negative in bf16 and NaNs training
                 # via rsqrt. Convs stay in compute dtype; the norm is cheap.
+                mask = None
+                if sample_mask is not None and train:
+                    mask = sample_mask.reshape(
+                        (-1,) + (1,) * (x.ndim - 1))
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=0.9,
@@ -72,7 +80,7 @@ class DoubleConv(nn.Module):
                     dtype=jnp.float32,
                     use_fast_variance=False,
                     name=f"bn{i}",
-                )(x.astype(jnp.float32))
+                )(x.astype(jnp.float32), mask=mask)
                 x = x.astype(self.dtype)
             x = nn.relu(x)
         return x
@@ -133,35 +141,36 @@ class _UNetBase(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_mask=None):
         d = self.dilations
         kw = dict(use_bn=self.use_bn, dtype=self.dtype)
         DC = nn.remat(DoubleConv, static_argnums=(2,)) if self.remat \
             else DoubleConv
-        enc1 = DC(64, d[0], name="enc1", **kw)(x, train)
-        enc2 = DC(128, d[1], name="enc2", **kw)(_max_pool_2x2(enc1), train)
-        enc3 = DC(256, d[2], name="enc3", **kw)(_max_pool_2x2(enc2), train)
-        enc4 = DC(512, d[3], name="enc4", **kw)(_max_pool_2x2(enc3), train)
+        sm = sample_mask
+        enc1 = DC(64, d[0], name="enc1", **kw)(x, train, sm)
+        enc2 = DC(128, d[1], name="enc2", **kw)(_max_pool_2x2(enc1), train, sm)
+        enc3 = DC(256, d[2], name="enc3", **kw)(_max_pool_2x2(enc2), train, sm)
+        enc4 = DC(512, d[3], name="enc4", **kw)(_max_pool_2x2(enc3), train, sm)
 
         bott = DC(1024, d[4], name="bottleneck", **kw)(
-            _max_pool_2x2(enc4), train
+            _max_pool_2x2(enc4), train, sm
         )
 
         up4 = UpConv2x2(512, dtype=self.dtype, name="upconv4")(bott)
         dec4 = DC(512, 1, name="dec4", **kw)(
-            jnp.concatenate([up4, enc4], axis=-1), train
+            jnp.concatenate([up4, enc4], axis=-1), train, sm
         )
         up3 = UpConv2x2(256, dtype=self.dtype, name="upconv3")(dec4)
         dec3 = DC(256, 1, name="dec3", **kw)(
-            jnp.concatenate([up3, enc3], axis=-1), train
+            jnp.concatenate([up3, enc3], axis=-1), train, sm
         )
         up2 = UpConv2x2(128, dtype=self.dtype, name="upconv2")(dec3)
         dec2 = DC(128, 1, name="dec2", **kw)(
-            jnp.concatenate([up2, enc2], axis=-1), train
+            jnp.concatenate([up2, enc2], axis=-1), train, sm
         )
         up1 = UpConv2x2(64, dtype=self.dtype, name="upconv1")(dec2)
         dec1 = DC(64, 1, name="dec1", **kw)(
-            jnp.concatenate([up1, enc1], axis=-1), train
+            jnp.concatenate([up1, enc1], axis=-1), train, sm
         )
 
         out = nn.Conv(

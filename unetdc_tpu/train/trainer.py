@@ -70,6 +70,10 @@ class TrainConfig:
     resume: bool = False                # resume from ckpt_path if it exists
     remat: bool = False                 # activation checkpointing
     history_jsonl: Optional[str] = None  # structured per-epoch metrics log
+    # additionally shard the image height over the mesh's 'space' axis
+    # (XLA inserts conv halo exchanges); the scaling axis for images larger
+    # than one chip's HBM (SURVEY §5 spatial axis)
+    shard_space: bool = False
 
 
 class Trainer:
@@ -102,8 +106,9 @@ class Trainer:
             self.variables = replicate(mesh, self.variables)
             self.opt_state = replicate(mesh, self.opt_state)
         if config.loss == "focal_dice":
-            self.loss_fn = lambda z, t: focal_dice_loss_from_logits(
-                z, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio)
+            self.loss_fn = lambda z, t, w: focal_dice_loss_from_logits(
+                z, t, alpha=1.0, gamma=2.0, ratio=config.focal_ratio,
+                weights=w)
         else:
             self.loss_fn = combined_loss_from_logits
 
@@ -136,48 +141,59 @@ class Trainer:
         return jax.vmap(one)(imgs_u8, masks_u8)
 
     # ------------------------------------------------------------------
-    def _metrics(self, probs, masks):
+    def _metrics(self, probs, masks, valid):
+        """valid: (B,) f32 sample weights (0 = DP tail-padding replica)."""
         thresh = self.cfg.metric_thresh
         pred = (probs > thresh).astype(jnp.float32)
-        dice = dice_coef(masks, pred)
-        acc_correct = jnp.sum((pred == masks))
+        dice = dice_coef(masks, pred, weights=valid)
+        w = valid.reshape((-1,) + (1,) * (masks.ndim - 1))
+        acc_correct = jnp.sum((pred == masks) * w)
         return dice, acc_correct
 
-    def _train_step_impl(self, params, batch_stats, opt_state, images, masks):
+    def _train_step_impl(self, params, batch_stats, opt_state, images, masks,
+                         valid):
         def loss_of(p):
             logits, mutated = self.model.apply(
                 {"params": p, "batch_stats": batch_stats}, images,
-                train=True, mutable=["batch_stats"])
-            return (self.loss_fn(logits, masks),
+                train=True, mutable=["batch_stats"],
+                sample_mask=valid > 0.5)
+            return (self.loss_fn(logits, masks, valid),
                     (jax.nn.sigmoid(logits), mutated["batch_stats"]))
 
         (loss, (probs, new_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        dice, correct = self._metrics(probs, masks)
+        dice, correct = self._metrics(probs, masks, valid)
         return params, new_stats, opt_state, loss, dice, correct
 
-    def _eval_step_impl(self, params, batch_stats, images, masks):
+    def _eval_step_impl(self, params, batch_stats, images, masks, valid):
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
             train=False)
         probs = jax.nn.sigmoid(logits)
-        loss = self.loss_fn(logits, masks)
-        dice, correct = self._metrics(probs, masks)
-        counts = confusion_counts(masks, probs, self.cfg.metric_thresh)
+        loss = self.loss_fn(logits, masks, valid)
+        dice, correct = self._metrics(probs, masks, valid)
+        counts = confusion_counts(masks, probs, self.cfg.metric_thresh,
+                                  sample_mask=valid > 0.5)
         return probs, loss, dice, correct, counts
 
     # ------------------------------------------------------------------
     def _device_batch(self, batch):
+        """Returns (x, m, valid): preprocessed images/masks plus (B,) f32
+        validity weights. Ragged tail batches are padded to a shardable size
+        by replicating the last sample; the padding replicas carry weight 0
+        so they are EXCLUDED from loss, gradients, BatchNorm statistics and
+        all metrics (losses._wmean / models sample_mask) — padded and
+        unpadded runs are numerically identical."""
         imgs = jnp.asarray(batch["images"])
         masks = jnp.asarray(batch["masks"])
+        n_valid = int(batch.get("n_valid", imgs.shape[0]))
+        valid = np.ones(imgs.shape[0], np.float32)
+        valid[n_valid:] = 0.0
         if self.mesh is not None:
             from unetdc_tpu.core.mesh import DATA_AXIS, batch_sharding
 
-            # pad ragged tail batches to a shardable size by replicating
-            # the last sample (tiny, shuffled-away gradient bias; the
-            # alternative — crashing on non-divisible splits — is worse)
             n_data = self.mesh.shape[DATA_AXIS]
             rem = imgs.shape[0] % n_data
             if rem:
@@ -186,11 +202,16 @@ class Trainer:
                     [imgs, jnp.repeat(imgs[-1:], pad, axis=0)])
                 masks = jnp.concatenate(
                     [masks, jnp.repeat(masks[-1:], pad, axis=0)])
-            imgs = jax.device_put(imgs, batch_sharding(self.mesh, imgs.ndim))
-            masks = jax.device_put(masks,
-                                   batch_sharding(self.mesh, masks.ndim))
+                valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+            sd = 1 if self.cfg.shard_space else None
+            imgs = jax.device_put(
+                imgs, batch_sharding(self.mesh, imgs.ndim, space_dim=sd))
+            masks = jax.device_put(
+                masks, batch_sharding(self.mesh, masks.ndim, space_dim=sd))
+            valid = jax.device_put(valid, batch_sharding(self.mesh, 1))
         x, m = self._preprocess(imgs, masks, self.cfg.background_radius, True)
-        return x, m[..., None]  # mask channel dim (utils/data_loader.py:66-68)
+        # mask channel dim (utils/data_loader.py:66-68)
+        return x, m[..., None], jnp.asarray(valid)
 
     def run_epoch_train(self, data: SegmentationData, epoch: int):
         cfg = self.cfg
@@ -200,7 +221,7 @@ class Trainer:
         tot_px = 0
         n_batches = 0
         for batch in Prefetcher(data.batches()):
-            x, m = self._device_batch(batch)
+            x, m, valid = self._device_batch(batch)
             if cfg.augment:
                 key, sub = jax.random.split(key)
                 x, m2 = augment_batch(sub, x, m[..., 0])
@@ -208,11 +229,11 @@ class Trainer:
             (self.variables["params"], self.variables["batch_stats"],
              self.opt_state, loss, dice, correct) = self._train_step(
                 self.variables["params"], self.variables["batch_stats"],
-                self.opt_state, x, m)
+                self.opt_state, x, m, valid)
             tot_loss += float(loss)
             tot_dice += float(dice)
             tot_correct += int(correct)
-            tot_px += int(np.prod(m.shape))
+            tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
             n_batches += 1
         return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
                 tot_correct / max(tot_px, 1))
@@ -225,13 +246,14 @@ class Trainer:
         n_batches = 0
         counts_sum = np.zeros(4, np.int64)
         for batch in Prefetcher(data.batches()):
-            x, m = self._device_batch(batch)
+            x, m, valid = self._device_batch(batch)
             probs, loss, dice, correct, counts = self._eval_step(
-                self.variables["params"], self.variables["batch_stats"], x, m)
+                self.variables["params"], self.variables["batch_stats"], x, m,
+                valid)
             tot_loss += float(loss)
             tot_dice += float(dice)
             tot_correct += int(correct)
-            tot_px += int(np.prod(m.shape))
+            tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
             counts_sum += np.asarray(counts, np.int64)
             n_batches += 1
             if save_masks_dir is not None:
