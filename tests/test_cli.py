@@ -136,3 +136,39 @@ def test_train_dc_focal_cli_e2e_with_extra_viz(tmp_path, monkeypatch):
     # mask dump resized to the original 40x40
     m = np.array(Image.open(preds[0]))
     assert m.shape == (40, 40) and set(np.unique(m)) <= {0, 255}
+
+
+def test_frozen_gui_entry_dispatch(capsys, monkeypatch):
+    """packaging/gui_entry.py doubles the frozen GUI exe as the CLI:
+    `--cli quantify_droplets_batch --help` must reach the real parser, and
+    the command builder must emit the self-invoking form when frozen."""
+    import sys
+    import runpy
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "packaging")
+    try:
+        import gui_entry
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["unetdc-gui", "--cli", "quantify_droplets_batch",
+                         "--help"])
+    with _pytest.raises(SystemExit) as e:
+        gui_entry.main()
+    assert e.value.code == 0
+    assert "--img_dir" in capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "argv", ["unetdc-gui", "--cli", "nonsense"])
+    with _pytest.raises(SystemExit) as e:
+        gui_entry.main()
+    assert e.value.code == 2
+
+    # frozen command builder self-invokes the exe
+    from unetdc_tpu.gui.command import build_batch_command
+
+    monkeypatch.setattr(sys, "frozen", True, raising=False)
+    cmd = build_batch_command("/imgs", "/ck.pth", "/out")
+    assert cmd[:3] == [sys.executable, "--cli", "quantify_droplets_batch"]

@@ -203,31 +203,46 @@ def test_label_fuzz_many_seeds():
                                       err_msg=f"seed={seed}")
 
 
-@pytest.mark.parametrize("connectivity", [1, 2])
-def test_pallas_propagation_matches_xla(rng, connectivity):
-    """The Pallas VMEM-resident propagation kernel (interpret mode on CPU)
-    must agree with the XLA path bit-for-bit."""
-    from unetdc_tpu.ops.connected_components import _propagate_xla
-    from unetdc_tpu.ops.pallas_cc import propagate_pallas
+def test_pallas_props_kernel_matches_segment_sum(rng):
+    """The MXU one-hot property-table kernel (ops/pallas_props.py, interpret
+    mode on CPU) must reproduce segment_sum exactly — including odd widths
+    (row padding), labels beyond CAP (dropped), and the background row."""
+    from unetdc_tpu.ops.pallas_props import (CAP, component_tables,
+                                             component_tables_reference)
 
-    m = (rng.rand(3, 48, 64) > 0.55)
-    b, h, w = m.shape
-    idx = np.broadcast_to(np.arange(h * w, dtype=np.int32).reshape(h, w),
-                          (b, h, w))
-    ref = _propagate_xla(jnp.asarray(idx), jnp.asarray(m),
-                         jnp.int32(h * w), connectivity, True)
-    ours = propagate_pallas(jnp.asarray(idx), jnp.asarray(m), h * w,
-                            connectivity, True)
-    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
-    # max-propagation (rank flood) too
-    seed = np.where(rng.rand(b, h, w) > 0.9, rng.randint(1, 100, (b, h, w)),
-                    0).astype(np.int32)
-    seed = np.where(m, seed, 0)
-    ref2 = _propagate_xla(jnp.asarray(seed), jnp.asarray(m), jnp.int32(0),
-                          connectivity, False)
-    ours2 = propagate_pallas(jnp.asarray(seed), jnp.asarray(m), 0,
-                             connectivity, False)
-    np.testing.assert_array_equal(np.asarray(ours2), np.asarray(ref2))
+    for b, h, w in [(2, 64, 64), (1, 50, 96), (2, 40, 70)]:
+        lab = rng.randint(0, CAP + 140, (b, h, w)).astype(np.int32)
+        lab[rng.rand(b, h, w) < 0.5] = 0
+        got = np.asarray(component_tables(jnp.asarray(lab), interpret=True))
+        ref = np.asarray(component_tables_reference(jnp.asarray(lab)))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{b}x{h}x{w}")
+
+
+@pytest.mark.parametrize("connectivity", [1, 2])
+@pytest.mark.parametrize("want_presieve", [False, True])
+def test_quantify_table_path_matches_scatter_path(rng, connectivity,
+                                                  want_presieve):
+    """quantify_mask_batch's Pallas table path (impl='interp' on CPU) must
+    produce the exact output dict of the portable scatter path, including
+    ragged widths and empty masks."""
+    from unetdc_tpu.ops.connected_components import quantify_mask_batch
+
+    masks = np.stack([
+        (rng.rand(60, 84) > 0.72).astype(np.uint8),
+        np.zeros((60, 84), np.uint8),           # empty image
+        (rng.rand(60, 84) > 0.4).astype(np.uint8),
+    ])
+    for min_area in (1, 3):
+        a = quantify_mask_batch(jnp.asarray(masks), jnp.int32(min_area), 256,
+                                connectivity=connectivity,
+                                want_presieve=want_presieve, impl="scatter")
+        b = quantify_mask_batch(jnp.asarray(masks), jnp.int32(min_area), 256,
+                                connectivity=connectivity,
+                                want_presieve=want_presieve, impl="interp")
+        assert set(a.keys()) == set(b.keys())
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
 
 
 def test_component_areas(rng):

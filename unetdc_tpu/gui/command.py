@@ -22,14 +22,23 @@ def build_batch_command(
     skip_histogram: bool = False,
     python: Optional[str] = None,
 ) -> List[str]:
-    """Validated argv for the batch quantification CLI."""
+    """Validated argv for the batch quantification CLI.
+
+    In a PyInstaller one-file build there is no `python -m` to spawn — the
+    frozen executable re-invokes ITSELF with a `--cli <name>` prefix that
+    `packaging/gui_entry.py` dispatches in-process (the TPU-native
+    equivalent of the reference GUI's _MEIPASS script resolution,
+    gui_qt.py:45-84)."""
     if not img_dir:
         raise ValueError("Images folder is required")
     if not ckpt_path:
         raise ValueError("Checkpoint path is required")
-    cmd = [
-        python or sys.executable, "-m",
-        "unetdc_tpu.cli.quantify_droplets_batch",
+    if python is None and getattr(sys, "frozen", False):
+        head = [sys.executable, "--cli", "quantify_droplets_batch"]
+    else:
+        head = [python or sys.executable, "-m",
+                "unetdc_tpu.cli.quantify_droplets_batch"]
+    cmd = head + [
         "--img_dir", str(img_dir),
         "--ckpt_path", str(ckpt_path),
         "--out_dir", str(out_dir),

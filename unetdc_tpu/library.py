@@ -32,7 +32,6 @@ from unetdc_tpu.ops.contours import (
     contour_spreading_4 as _cs4,
     contour_spreading_8 as _cs8,
     contour_shrinking_box as _csb,
-    remove_objects as _remove_objects,
     calculate_contours_centroid as _ccc,
 )
 from unetdc_tpu.ops.density import (  # noqa: F401 (algorithms.py:389-535)
@@ -179,15 +178,16 @@ def contour_shrinking_box(image, threshold) -> np.ndarray:
 
 
 def remove_objects(contour_mask, min_size) -> np.ndarray:
-    """algorithms.py:354-367. Sizes num_segments from the actual component
-    count (power-of-two buckets so recompiles stay rare) — labels beyond the
-    static capacity would otherwise alias and corrupt the size filter."""
+    """algorithms.py:354-367. One propagation + compact table — no host
+    round-trip (an earlier version labeled twice with a blocking int() sync
+    between, just to size num_segments). Components ranked beyond the 4096
+    table capacity are conservatively kept (remove_small_batch semantics);
+    that only triggers on masks with >4096 8-connected contour blobs."""
+    from unetdc_tpu.ops.connected_components import remove_small_batch
+
     m = jnp.asarray(contour_mask)
-    n = int(_label(m, connectivity=2)[1])
-    cap = 4096
-    while cap <= n + 1:
-        cap *= 2
-    return np.asarray(_remove_objects(m, min_size, num_segments=cap))
+    return np.asarray(remove_small_batch(
+        m[None], jnp.asarray(min_size), max_labels=4096, connectivity=2)[0])
 
 
 def calculate_contours_centroid(image):

@@ -119,22 +119,11 @@ def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
                is_min: bool) -> jax.Array:
     """Run sweeps to fixpoint on (..., H, W).
 
-    An experimental VMEM-resident Pallas kernel exists (ops/pallas_cc.py,
-    enable with UNETDC_TPU_PALLAS_CC=1): it is bit-identical and removes all
-    inter-sweep HBM traffic, but Mosaic's lowering of large-lane rolls makes
-    512x512 kernels prohibitively slow to compile on this toolchain, so the
-    XLA path is the default."""
-    import os
-
-    if (init.ndim in (2, 3) and jax.default_backend() == "tpu"
-            and os.environ.get("UNETDC_TPU_PALLAS_CC") == "1"):
-        from unetdc_tpu.ops.pallas_cc import propagate_pallas
-
-        squeezed = init.ndim == 2
-        init3 = init[None] if squeezed else init
-        fg3 = fg[None] if squeezed else fg
-        out = propagate_pallas(init3, fg3, int(fill), connectivity, is_min)
-        return out[0] if squeezed else out
+    Stays pure-XLA by design: measured 1.9 ms per 8x512x512 batch on v5e —
+    the propagation is NOT the hot part of quantification (the property
+    aggregation was, see ops/pallas_props.py). A VMEM-resident Pallas
+    propagation kernel was built and removed in round 2: bit-identical but
+    350 s+ Mosaic compiles (large-lane rolls) for no measured speedup."""
     return _propagate_xla(init, fg, fill, connectivity, is_min)
 
 
@@ -277,28 +266,122 @@ def sieve_small_components(
     return new_ids[labels], keep.sum().astype(jnp.int32)
 
 
+def _props_impl(max_labels: int) -> str:
+    """Which property-aggregation backend quantify uses (trace time):
+    'pallas' = MXU one-hot matmul kernel (ops/pallas_props.py; TPU only,
+    ~30x faster than XLA's scatter lowering of segment_sum), 'scatter' =
+    the portable segment_sum path. UNETDC_TPU_PROPS=scatter forces the
+    fallback; =interp runs the kernel in interpret mode (for CPU testing).
+    """
+    import os
+
+    from unetdc_tpu.ops.pallas_props import CAP
+
+    mode = os.environ.get("UNETDC_TPU_PROPS")
+    if mode in ("scatter", "pallas", "interp"):
+        return mode if max_labels + 1 <= CAP or mode == "scatter" \
+            else "scatter"
+    if max_labels + 1 > CAP:
+        return "scatter"
+    return "pallas" if jax.default_backend() == "tpu" else "scatter"
+
+
 @functools.partial(jax.jit, static_argnames=("max_labels", "connectivity",
-                                             "want_presieve"))
+                                             "want_presieve", "impl"))
 def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
                         max_labels: int, connectivity: int = 1,
-                        want_presieve: bool = False):
+                        want_presieve: bool = False, impl: str = None):
     """Batched `quantify_mask`: the propagation while_loop runs natively on
     (B, H, W) — compiling it once for the batch instead of per-vmap-instance
     keeps XLA compile time linear — and the cheap per-image table math is
     vmapped over precomputed roots. With `want_presieve`, the pre-sieve
     component table (area + f32-combined coordinate sums in raster order)
     is also returned, so callers that need both sieved and unsieved stats
-    pay for the propagation only once."""
+    pay for the propagation only once.
+
+    `impl` (default auto, see `_props_impl`): 'pallas' ranks components and
+    aggregates properties with the MXU one-hot kernel; 'scatter' uses the
+    portable segment_sum path."""
     b, h, w = masks.shape
     fg = masks.astype(bool)
     idx = jnp.broadcast_to(
         jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
     big = h * w
     roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    if impl is None:
+        impl = _props_impl(max_labels)
+    if impl in ("pallas", "interp"):
+        from unetdc_tpu.ops.pallas_props import component_tables
+
+        is_root = fg & (roots == idx)
+        n_total = is_root.sum(axis=(1, 2)).astype(jnp.int32)
+        rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
+        labels = _propagate(jnp.where(is_root, rank, 0), fg, 0,
+                            connectivity, is_min=False)
+        labels = jnp.where(fg, labels, 0)
+        tables = component_tables(labels, interpret=(impl == "interp"))
+        return jax.vmap(
+            lambda t, n: _quantify_from_table(t, n, (h, w), min_area,
+                                              max_labels, want_presieve)
+        )(tables, n_total)
     return jax.vmap(
         lambda m, r: _quantify_from_roots(m, r, min_area, max_labels,
                                           want_presieve)
     )(masks, roots)
+
+
+def _quantify_from_table(table, n_total, hw, min_area, max_labels,
+                         want_presieve: bool = False):
+    """Sieve + relabel + output assembly from a per-label property table
+    (ops/pallas_props.py layout: [count, row&255, row>>8, col&255, col>>8]
+    per label slot). Produces the exact output contract of
+    `_quantify_from_roots` (same keys, same int32 exactness bounds)."""
+    h, w = hw
+    n_pix = h * w
+    if 255 * n_pix >= 2 ** 31:
+        raise ValueError(
+            f"image {h}x{w} exceeds the exact-int32 regionprops bound "
+            "(~8.4M pixels); tile the image or extend the coordinate split")
+    cap = max_labels + 1
+    t = table[:cap]
+    slots = jnp.arange(cap)
+    slot_valid = (slots >= 1) & (slots <= n_total)
+    area = jnp.where(slot_valid, t[:, 0], 0)
+    split = n_pix * max(h - 1, w - 1) >= 2 ** 31  # static
+    if split:
+        payload = jnp.stack([area, t[:, 1], t[:, 2], t[:, 3], t[:, 4]],
+                            axis=-1)
+        pre0 = t[:, 2].astype(jnp.float32) * 256.0 + t[:, 1]
+        pre1 = t[:, 4].astype(jnp.float32) * 256.0 + t[:, 3]
+    else:
+        # recombine coordinate bytes on device (exact in int32 here) so the
+        # device->host transfer stays at 3 tables like the scatter path
+        s0 = t[:, 2] * 256 + t[:, 1]
+        s1 = t[:, 4] * 256 + t[:, 3]
+        payload = jnp.stack([area, s0, s1], axis=-1)
+        pre0 = s0.astype(jnp.float32)
+        pre1 = s1.astype(jnp.float32)
+
+    keep = slot_valid & (area >= min_area)
+    new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
+    out = jnp.zeros((cap, payload.shape[1]), jnp.int32).at[new_label].set(
+        jnp.where(keep[:, None], payload, 0))
+    result = {
+        "count": keep.sum().astype(jnp.int32),
+        "total": n_total,
+        "area": out[1:, 0],
+        "sum-0-lo": out[1:, 1],
+        "sum-1-lo": out[1:, 3] if split else out[1:, 2],
+    }
+    if split:
+        result["sum-0-hi"] = out[1:, 2]
+        result["sum-1-hi"] = out[1:, 4]
+    if want_presieve:
+        result["all_area"] = area[1:]
+        result["all_sum-0"] = jnp.where(slot_valid, pre0, 0.0)[1:]
+        result["all_sum-1"] = jnp.where(slot_valid, pre1, 0.0)[1:]
+        result["all_count"] = jnp.minimum(n_total, max_labels)
+    return result
 
 
 def _quantify_from_roots(mask, roots, min_area, max_labels,

@@ -1,0 +1,164 @@
+"""Per-component property tables via an MXU one-hot matmul Pallas kernel.
+
+Replaces `jax.ops.segment_sum` in the quantification megastep
+(reference semantics: skimage regionprops_table area/centroid,
+quantify_droplets_batch.py:81-95). XLA lowers segment_sum to a scatter-add,
+which on TPU runs at ~40 ns/update regardless of collisions — measured
+85 ms per 8x512x512 batch, i.e. 65% of the whole megastep. This kernel
+reformulates the aggregation as matrix multiplies that run on the MXU with
+all intermediates VMEM-resident:
+
+    table[k, f] = sum_p [label(p) == k] * feat(p, f)
+
+with the label split into (hi = k // 64, lo = k % 64) so the one-hot
+factors stay small:  A = concat_f(onehot_hi * feat_f)  (5*65, chunk)
+                     L = onehot_lo                     (64,   chunk)
+    chunk_table = A @ L^T   ->  (5*65, 64) == (f, hi, lo)
+
+Exactness (integer results, no rounding):
+  - one-hots and feature payloads (each <= 255: count bit, coordinate
+    low/high bytes) are exact in bf16;
+  - each chunk's f32 MXU accumulation sums <= 255 * 8192 < 2^24 (exact);
+  - chunks accumulate into the int32 output block (revisited across grid
+    steps), bounded by 255 * n_pixels < 2^31 (the module-level bound
+    already enforced in ops.connected_components).
+
+Feature order: [count, row & 255, row >> 8, col & 255, col >> 8].
+Labels beyond CAP-1 (= 4159) one-hot to nothing and are dropped — callers
+detect overflow via the separately-computed component count, exactly like
+the segment_sum path did.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HI = 65
+LO = 64
+CAP = HI * LO  # 4160 table slots: labels 0 (background) .. 4159
+NFEAT = 5
+
+
+SUB = 8  # sub-chunks per grid step (Mosaic: 2nd-to-last block dim % 8 == 0)
+
+
+def _props_kernel(h0_ref, w_ref, lab_ref, out_ref):
+    """Grid (B, n_super). lab block: (1, SUB, chunk) int32 labels, flattened
+    row-major; out block: (1, NFEAT * HI, LO) int32, revisited across the
+    super-chunk dimension. h0/w live whole in SMEM (rank-1 SMEM blocks
+    cannot be per-step sliced by the Mosaic lowering).
+
+    The SUB sub-chunk results accumulate in f32 before one int32 convert —
+    exact, since sums <= 255 * SUB * chunk <= 16.7M < 2^24."""
+    chunk = lab_ref.shape[-1]
+    w = w_ref[0]                          # image width (SMEM scalar)
+    h0 = h0_ref[pl.program_id(1)]         # first row of this super-chunk
+
+    def body(s, acc):
+        # fori_loop (not unrolled) keeps one sub-chunk's one-hot buffers
+        # live at a time — unrolling blew the 16 MB VMEM stack
+        lab = lab_ref[0, s, :].reshape(1, chunk)
+        p = (s * chunk
+             + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
+        row = h0 + p // w
+        col = p % w
+
+        hi = lab // LO          # (1, chunk)
+        lo = lab % LO
+
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (HI, chunk), 0)
+        oh_hi = (hi_iota == hi).astype(jnp.bfloat16)      # (HI, chunk)
+        lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, chunk), 0)
+        oh_lo = (lo_iota == lo).astype(jnp.bfloat16)      # (LO, chunk)
+
+        feats = (
+            jnp.ones((1, chunk), jnp.bfloat16),
+            (row & 255).astype(jnp.bfloat16),
+            (row >> 8).astype(jnp.bfloat16),
+            (col & 255).astype(jnp.bfloat16),
+            (col >> 8).astype(jnp.bfloat16),
+        )
+        a = jnp.concatenate([oh_hi * f for f in feats], axis=0)
+
+        return acc + jax.lax.dot_general(
+            a, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (5*HI, LO)
+
+    acc = jax.lax.fori_loop(
+        0, SUB, body, jnp.zeros((NFEAT * HI, LO), jnp.float32))
+    tab = acc.astype(jnp.int32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0] = tab
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[0] = out_ref[0] + tab
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def component_tables(labels: jax.Array, interpret: bool = False) -> jax.Array:
+    """(B, H, W) int32 compact label images -> (B, CAP, NFEAT) int32 tables.
+
+    table[b, k] = [pixel count, sum(row)&bytes, sum(col)&bytes] of label k
+    (k = 0 is background). Exact integers; see module docstring.
+    """
+    b, h, w = labels.shape
+    # chunk = k rows, flattened to the lane dimension OUTSIDE the kernel
+    # (in-kernel sublane->lane reshapes are Mosaic-hostile); SUB chunks per
+    # grid step satisfy the (8, 128) block-divisibility rule
+    k = max(1, 4096 // w)
+    n_super = -(-h // (k * SUB))
+    pad = n_super * k * SUB - h
+    if pad:
+        # padded rows get an out-of-range label so they one-hot to nothing
+        # (keeps even the background row 0 exact)
+        labels = jnp.pad(labels, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=CAP)
+    chunk = k * w
+    lab3 = labels.reshape(b, n_super * SUB, chunk)
+    h0s = (np.arange(n_super, dtype=np.int32) * k * SUB)
+
+    out = pl.pallas_call(
+        _props_kernel,
+        grid=(b, n_super),
+        in_specs=[
+            pl.BlockSpec((n_super,), lambda i, j: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i, j: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SUB, chunk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NFEAT * HI, LO), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, NFEAT * HI, LO), jnp.int32),
+        interpret=interpret,
+    )(h0s, np.asarray([w], np.int32), lab3)
+
+    # (B, 5*HI, LO) -> (B, 5, HI*LO) -> (B, CAP, 5)
+    return out.reshape(b, NFEAT, CAP).transpose(0, 2, 1)
+
+
+def component_tables_reference(labels: jax.Array) -> jax.Array:
+    """jnp oracle for the kernel (and the non-TPU fallback path)."""
+    b, h, w = labels.shape
+    p = h * w
+    rows = jnp.arange(p, dtype=jnp.int32) // w
+    cols = jnp.arange(p, dtype=jnp.int32) % w
+    feats = jnp.stack([jnp.ones(p, jnp.int32), rows & 255, rows >> 8,
+                       cols & 255, cols >> 8], axis=-1)
+
+    def one(lab):
+        return jax.ops.segment_sum(feats, lab.reshape(-1), num_segments=CAP)
+
+    return jax.vmap(one)(labels)

@@ -113,8 +113,8 @@ class HeatmapV1Pipeline(BatchQuantifyPipeline):
     spatial density heatmap PNGs ({name}_radial_density.png,
     {name}_spatial_density.png, cmap 'hot', quantify_pipline.py:141-142)."""
 
-    def _write_batch_outputs(self, out, paths, n_valid):
-        super()._write_batch_outputs(out, paths, n_valid)
+    def _write_batch_outputs(self, out, paths, n_valid, rgbs=None):
+        super()._write_batch_outputs(out, paths, n_valid, rgbs)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -202,7 +202,7 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
     quantify.py:89-90). No master summary artifacts (the reference v2 CLI
     writes none)."""
 
-    def _write_batch_outputs(self, out, paths, n_valid):
+    def _write_batch_outputs(self, out, paths, n_valid, rgbs=None):
         oh, ow = out["mask"].shape[1:]
         import matplotlib
         matplotlib.use("Agg")

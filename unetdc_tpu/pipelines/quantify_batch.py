@@ -106,6 +106,8 @@ class BatchQuantifyPipeline:
         self.background_radius = background_radius
         self.per_image_rows: List[dict] = []
         self.all_props: List[pd.DataFrame] = []
+        self._pool = None
+        self._pending_writes: List = []
 
     # queue depth 2: dispatch k+1 and k+2 before fetching k — measured
     # optimal on this host link (deeper queues degrade)
@@ -119,6 +121,10 @@ class BatchQuantifyPipeline:
         n_valid = len(imgs)
         if n_valid == 0:
             return
+        # keep the already-decoded RGB for overlay drawing (the reference
+        # re-reads the file with cv2.imread, quantify_droplets_batch.py:76 —
+        # a second decode of data we just had in memory)
+        rgbs = list(imgs[:n_valid]) if self.overlay_dir is not None else None
         # pad to full batch so every bucket reuses one compiled program
         while len(imgs) < self.batch:
             imgs.append(np.zeros_like(imgs[0]))
@@ -130,29 +136,53 @@ class BatchQuantifyPipeline:
             self.engine.dispatch_batch(
                 np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
                 self.background_radius),
-            list(paths), n_valid, size_hw))
+            list(paths), n_valid, size_hw, rgbs))
 
     def _drain(self, one: bool = False):
         from unetdc_tpu.utils.profiling import stage_timer
 
         inflight = getattr(self, "_inflight", [])
         while inflight:
-            out, paths, n_valid, size_hw = inflight.pop(0)
+            out, paths, n_valid, size_hw, rgbs = inflight.pop(0)
             with stage_timer("device_fetch"):
                 host = self.engine.fetch_batch(out, size_hw)
             with stage_timer("host_write_artifacts"):
-                self._write_batch_outputs(host, paths, n_valid)
+                self._write_batch_outputs(host, paths, n_valid, rgbs)
             if one:
                 break
 
-    def _write_batch_outputs(self, out, paths, n_valid):
+    @property
+    def _writer_pool(self):
+        """Small thread pool for PNG encodes: libpng/libjpeg release the
+        GIL, so encodes overlap with the next batch's device fetch (the
+        relay link is the pipeline's idle time)."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=2)
+        return self._pool
+
+    def _submit_write(self, fn, *args):
+        fut = self._writer_pool.submit(fn, *args)
+        self._pending_writes.append(fut)
+        # bound the queue; surface encoder errors promptly
+        while len(self._pending_writes) > 16:
+            self._pending_writes.pop(0).result()
+
+    def finish_writes(self):
+        for f in self._pending_writes:
+            f.result()
+        self._pending_writes = []
+
+    def _write_batch_outputs(self, out, paths, n_valid, rgbs=None):
+        from unetdc_tpu.io.native import encode_png_gray
+
         for i in range(n_valid):
             fpath = paths[i]
             name = fpath.stem
             mask = out["mask"][i]
-            from unetdc_tpu.io.native import encode_png_gray
-
-            encode_png_gray(self.mask_dir / f"{name}_pred.png", mask * 255)
+            self._submit_write(encode_png_gray,
+                               self.mask_dir / f"{name}_pred.png", mask * 255)
             props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
                                   "sum-0-hi", "sum-1-lo",
                                   "sum-1-hi") if k in out}
@@ -169,10 +199,14 @@ class BatchQuantifyPipeline:
             if self.overlay_dir is not None:
                 import cv2
 
-                img = cv2.imread(str(fpath))
-                if img is not None:
-                    cv2.imwrite(str(self.overlay_dir / f"{name}_overlay.png"),
-                                draw_overlay(img, mask))
+                # reuse the decoded RGB (cv2 wants BGR); reference re-decodes
+                bgr = (rgbs[i][..., ::-1] if rgbs is not None
+                       else cv2.imread(str(fpath)))
+                if bgr is not None:
+                    self._submit_write(
+                        cv2.imwrite,
+                        str(self.overlay_dir / f"{name}_overlay.png"),
+                        draw_overlay(np.ascontiguousarray(bgr), mask))
 
     # --------------------------------------------------------------
     def run(self, img_dir: str, progress: bool = True):
@@ -215,6 +249,7 @@ class BatchQuantifyPipeline:
         if pend_imgs:
             self._flush(pend_imgs, pend_paths, pend_size)
         self._drain()
+        self.finish_writes()
         return self
 
     # --------------------------------------------------------------
