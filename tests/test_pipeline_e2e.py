@@ -235,6 +235,37 @@ def test_component_overflow_raises(ckpt_and_model):
         engine.fetch_batch(fake, (64, 64))
 
 
+def test_packed_fetch_matches_direct_megastep(ckpt_and_model):
+    """dispatch/fetch round the outputs through ONE bitcast-packed uint8
+    buffer (the axon relay charges ~0.1 s latency per transfer call); the
+    unpacked results must be bit-identical to the unpacked megastep dict."""
+    import jax
+
+    from unetdc_tpu.checkpoint import (load_pth_state_dict,
+                                       torch_state_dict_to_variables)
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    ckpt, _ = ckpt_and_model
+    variables = torch_state_dict_to_variables(load_pth_state_dict(ckpt))
+    engine = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                            img_size=IMG_SIZE, max_labels=1024)
+    rng = np.random.RandomState(3)
+    imgs = (rng.rand(2, 96, 80, 3) * 255).astype(np.uint8)
+    out = engine.run_batch(imgs, (96, 80), background_radius=10)
+
+    ref = jax.jit(engine._megastep_impl,
+                  static_argnames=("out_hw", "background_radius",
+                                   "apply_bg"))(
+        engine.params, jnp.asarray(imgs), jnp.float32(0.3), jnp.int32(1),
+        (96, 80), 10, True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    mask_ref = np.unpackbits(ref.pop("mask_bits"), axis=-1)[
+        :, :96 * 80].reshape(2, 96, 80)
+    assert np.array_equal(out["mask"], mask_ref)
+    for k in ref:
+        assert np.array_equal(out[k], ref[k]), k
+
+
 def test_mixed_size_training_batches(tmp_path):
     """SegmentationData groups same-size samples into batches."""
     from PIL import Image

@@ -30,6 +30,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from unetdc_tpu.utils.compile_cache import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()  # $UNETDC_TPU_COMPILE_CACHE opt-in
     args = build_parser().parse_args(argv)
 
     import jax.numpy as jnp

@@ -69,8 +69,9 @@ class QuantifyEngine:
         # params are traced arguments (NOT closed-over constants) so the
         # 31M-weight pytree lives in HBM, not in the compiled HLO
         self._megastep = jax.jit(
-            self._megastep_impl,
+            self._megastep_packed_impl,
             static_argnames=("out_hw", "background_radius", "apply_bg"))
+        self._layouts: Dict[Any, Any] = {}
         self._forward = jax.jit(
             lambda params, x: self.model.apply(params, x, train=False))
 
@@ -116,6 +117,48 @@ class QuantifyEngine:
                 out[k] = stats[k]
         return out
 
+    def _megastep_packed_impl(self, params, imgs_u8, thresh, min_area,
+                              out_hw, background_radius, apply_bg
+                              ) -> jax.Array:
+        """Megastep + flatten every output into ONE (B, bytes) uint8 buffer.
+
+        The axon relay charges ~0.1 s dispatch latency PER transfer call;
+        fetching the ~8 output arrays separately costs ~0.8 s/batch of pure
+        latency, dwarfing the 38 ms of compute. Concatenating (device-side
+        bitcast to uint8) makes the device->host fetch a single call. The
+        host splits the buffer by the static layout (`_layout_for`)."""
+        out = self._megastep_impl(params, imgs_u8, thresh, min_area, out_hw,
+                                  background_radius, apply_bg)
+        b = imgs_u8.shape[0]
+        parts = []
+        for k in sorted(out):
+            v = out[k]
+            u8 = (v if v.dtype == jnp.uint8
+                  else jax.lax.bitcast_convert_type(v, jnp.uint8))
+            parts.append(u8.reshape(b, -1))
+        return jnp.concatenate(parts, axis=1)
+
+    def _layout_for(self, batch: int, in_hw: Tuple[int, int],
+                    out_hw: Tuple[int, int]):
+        """[(key, np.dtype, shape, byte_offset, row_bytes)] for the packed
+        buffer — derived via eval_shape (no compile, no device traffic).
+        Only shapes matter: thresh/min_area/radius don't affect them."""
+        cache_key = (batch, in_hw, out_hw)
+        if cache_key not in self._layouts:
+            imgs = jax.ShapeDtypeStruct((batch, *in_hw, 3), jnp.uint8)
+            out = jax.eval_shape(
+                lambda p, x: self._megastep_impl(
+                    p, x, jnp.float32(0.3), jnp.int32(1), out_hw, 50, True),
+                self.params, imgs)
+            layout, off = [], 0
+            for k in sorted(out):
+                sh, dt = out[k].shape, np.dtype(out[k].dtype)
+                nb = int(np.prod(sh[1:], dtype=np.int64)) * dt.itemsize
+                layout.append((k, dt, tuple(sh), off, nb))
+                off += nb
+            self._layouts[cache_key] = layout
+        return self._layouts[cache_key]
+
     # ------------------------------------------------------------------
     def dispatch_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],
                        prob_thresh: float = 0.3, min_area: int = 1,
@@ -128,14 +171,26 @@ class QuantifyEngine:
             space_dim = 1 if self.shard_space else None
             x = jax.device_put(
                 x, batch_sharding(self.mesh, x.ndim, space_dim=space_dim))
-        return self._megastep(
+        packed = self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
+        layout = self._layout_for(imgs_u8.shape[0], imgs_u8.shape[1:3],
+                                  tuple(out_hw))
+        return packed, layout
 
     def fetch_batch(self, out, out_hw: Tuple[int, int]
                     ) -> Dict[str, np.ndarray]:
-        """Transfer a dispatched batch to host + unpack masks."""
-        host = jax.tree_util.tree_map(np.asarray, out)
+        """Transfer a dispatched batch to host + unpack masks (ONE device
+        transfer: the handle is a packed uint8 buffer + its layout)."""
+        if isinstance(out, dict):  # already-split arrays (tests, library)
+            host = jax.tree_util.tree_map(np.asarray, out)
+        else:
+            packed, layout = out
+            buf = np.asarray(packed)  # the single device->host transfer
+            host = {}
+            for k, dt, sh, off, nb in layout:
+                seg = np.ascontiguousarray(buf[:, off:off + nb])
+                host[k] = seg.view(dt).reshape(sh)
         if int(host["total"].max()) > self.max_labels:
             raise RuntimeError(
                 f"image has {int(host['total'].max())} components, exceeding "
