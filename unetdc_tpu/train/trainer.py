@@ -28,6 +28,7 @@ spatial sharding over an optional mesh, host only decodes PNGs and logs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Dict, List, Optional
@@ -216,8 +217,10 @@ class Trainer:
     def run_epoch_train(self, data: SegmentationData, epoch: int):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed * 1000 + epoch)
-        tot_loss = tot_dice = 0.0
-        tot_correct = 0
+        # per-step metric scalars stay ON DEVICE until the epoch ends: a
+        # float()/int() per step is a blocking relay round trip (~0.1 s)
+        # that also serializes dispatch, killing step pipelining
+        dev_metrics = []
         tot_px = 0
         n_batches = 0
         for batch in Prefetcher(data.batches()):
@@ -230,34 +233,43 @@ class Trainer:
              self.opt_state, loss, dice, correct) = self._train_step(
                 self.variables["params"], self.variables["batch_stats"],
                 self.opt_state, x, m, valid)
-            tot_loss += float(loss)
-            tot_dice += float(dice)
-            tot_correct += int(correct)
+            dev_metrics.append((loss, dice, correct))
             tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
             n_batches += 1
+        tot_loss, tot_dice, tot_correct = self._sum_metrics(dev_metrics)
         return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
                 tot_correct / max(tot_px, 1))
 
+    @staticmethod
+    def _sum_metrics(dev_metrics):
+        """One stack + one fetch for an epoch's per-step device scalars;
+        exact f64 summation happens on the host (on-device f32 accumulation
+        would lose pixel-count exactness past 2^24)."""
+        if not dev_metrics:
+            return tuple(0.0 for _ in range(3))
+        stacked = np.asarray(jnp.stack([jnp.stack(t) for t in dev_metrics]))
+        return tuple(stacked.astype(np.float64).sum(axis=0))
+
     def run_epoch_eval(self, data: SegmentationData,
                       save_masks_dir: Optional[str] = None):
-        tot_loss = tot_dice = 0.0
-        tot_correct = 0
+        dev_metrics = []
+        dev_counts = []
         tot_px = 0
         n_batches = 0
-        counts_sum = np.zeros(4, np.int64)
         for batch in Prefetcher(data.batches()):
             x, m, valid = self._device_batch(batch)
             probs, loss, dice, correct, counts = self._eval_step(
                 self.variables["params"], self.variables["batch_stats"], x, m,
                 valid)
-            tot_loss += float(loss)
-            tot_dice += float(dice)
-            tot_correct += int(correct)
+            dev_metrics.append((loss, dice, correct))
+            dev_counts.append(counts)
             tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
-            counts_sum += np.asarray(counts, np.int64)
             n_batches += 1
             if save_masks_dir is not None:
                 self._save_pred_masks(probs, batch, save_masks_dir)
+        tot_loss, tot_dice, tot_correct = self._sum_metrics(dev_metrics)
+        counts_sum = (np.asarray(jnp.stack(dev_counts)).astype(np.int64)
+                      .sum(axis=0) if dev_counts else np.zeros(4, np.int64))
         return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
                 tot_correct / max(tot_px, 1), counts_sum)
 
@@ -272,15 +284,20 @@ class Trainer:
 
         os.makedirs(out_dir, exist_ok=True)
         oh, ow = batch["orig_size"]
-        pred = (np.asarray(probs)[..., 0] > self.cfg.metric_thresh
-                ).astype(np.uint8)
+        # threshold + nearest-resize the whole batch on device and fetch the
+        # uint8 masks in ONE transfer (fetching f32 probs then resizing
+        # per image costs several relay round trips per image)
+        masks = np.asarray(self._resize_pred_masks(probs, (oh, ow)))
         for j in range(batch["n_valid"]):
-            m = np.asarray(resize_nearest(
-                jnp.asarray(pred[j]), (oh, ow))) * 255
             base = os.path.splitext(batch["filenames"][j])[0]
             out_path = os.path.join(out_dir, f"{base}_pred.png")
-            Image.fromarray(m).save(out_path)
+            Image.fromarray(masks[j]).save(out_path)
             print(f"Saved predicted mask: {out_path}")
+
+    @functools.partial(jax.jit, static_argnames=("self", "out_hw"))
+    def _resize_pred_masks(self, probs, out_hw):
+        pred = (probs[..., 0] > self.cfg.metric_thresh).astype(jnp.uint8)
+        return jax.vmap(lambda p: resize_nearest(p, out_hw))(pred) * 255
 
     # ------------------------------------------------------------------
     def fit(self, train_data: SegmentationData, val_data: SegmentationData):
