@@ -166,3 +166,47 @@ def test_train_mode_batchnorm_updates():
     before = variables["batch_stats"]["enc1"]["bn0"]["mean"]
     after = mutated["batch_stats"]["enc1"]["bn0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.parametrize("jax_cls", [UNet, UNetDC])
+def test_fast_forward_matches_module(jax_cls):
+    """models/unet_fast.py (pair-packed layout + conv_transpose upconvs)
+    computes the same MACs as the flax module — agreement up to f32
+    summation-order noise, on a non-square even-width input."""
+    from unetdc_tpu.models.unet_fast import build_fast_params, forward_folded
+
+    variables = init_params(jax_cls(), jax.random.PRNGKey(3),
+                            input_shape=(1, 64, 64, 3))
+    folded = fold_batchnorm(variables)
+    model = jax_cls(use_bn=False, dtype=jnp.float32)
+    fp = build_fast_params(folded["params"], dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(7).rand(2, 64, 96, 3), jnp.float32)
+    ref = model.apply(folded, x, train=False)
+    out = forward_folded(fp, x, dilations=jax_cls.dilations)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_engine_fast_forward_matches_flax_path(monkeypatch):
+    """QuantifyEngine's default fast forward produces the same probabilities
+    as the UNETDC_TPU_FAST_FWD=0 flax fallback."""
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    variables = init_params(UNetDC(), jax.random.PRNGKey(1),
+                            input_shape=(1, 64, 64, 3))
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    monkeypatch.setenv("UNETDC_TPU_FAST_FWD", "1")
+    fast = QuantifyEngine(variables, img_size=64, compute_dtype=jnp.float32)
+    assert fast._use_fast
+    monkeypatch.setenv("UNETDC_TPU_FAST_FWD", "0")
+    slow = QuantifyEngine(variables, img_size=64, compute_dtype=jnp.float32)
+    assert not slow._use_fast
+    # default: auto-on for bf16, off for the f32 parity dtype
+    monkeypatch.delenv("UNETDC_TPU_FAST_FWD")
+    assert QuantifyEngine(variables, img_size=64,
+                          compute_dtype=jnp.bfloat16)._use_fast
+    assert not QuantifyEngine(variables, img_size=64,
+                              compute_dtype=jnp.float32)._use_fast
+    a = np.asarray(fast.forward_probs(x))
+    b = np.asarray(slow.forward_probs(x))
+    np.testing.assert_allclose(a, b, atol=2e-4)

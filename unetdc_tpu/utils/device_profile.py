@@ -103,6 +103,7 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
     import jax.numpy as jnp
 
     from unetdc_tpu.models.unet import UNetDC, init_params, fold_batchnorm
+    from unetdc_tpu.models.unet_fast import build_fast_params, forward_folded
     from unetdc_tpu.ops.resize import resize_linear_u8_cv2exact
     from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
     from unetdc_tpu.ops.connected_components import quantify_mask_batch
@@ -115,6 +116,8 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
                             input_shape=(1, 64, 64, 3))
     folded = fold_batchnorm(variables)
     model = UNetDC(use_bn=False, dtype=jnp.bfloat16)
+    # production inference path (engine.py): pair-packed fast forward
+    fastp = build_fast_params(folded["params"], dtype=jnp.bfloat16)
 
     x_f32 = jnp.asarray(rng.rand(batch, size, size, 3), jnp.float32)
     probs = jnp.asarray(rng.rand(batch, size, size, 1), jnp.float32)
@@ -131,7 +134,7 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
             in_axes=-1, out_axes=-1))(c)
 
     def st_forward(c):
-        return model.apply(folded, c, train=False)
+        return forward_folded(fastp, c, UNetDC.dilations)
 
     def st_thresh_maskresize(c):
         m512 = (c[..., 0] > 0.3).astype(jnp.uint8)
