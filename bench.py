@@ -87,6 +87,49 @@ def bench_device_only(engine, imgs, size, iters=12):
     return imgs.shape[0] / sec if sec else float("inf")
 
 
+def bench_train_step(size=512, batch=8, iters=6):
+    """Production training-step throughput (bf16 UNetDC, focal-dice-from-
+    logits, Adam, f32 BatchNorm): ms/step and MFU from XLA's own cost
+    analysis. Returns (img_per_s, mfu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unetdc_tpu.train.trainer import Trainer, TrainConfig
+    from unetdc_tpu.utils.device_profile import (_loop_jit, _time_once,
+                                                 PEAK_BF16_FLOPS)
+
+    tr = Trainer(TrainConfig(model="unetdc", img_size=size, batch_size=batch,
+                             compute_dtype="bf16"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, size, size, 3), jnp.float32)
+    m = jnp.asarray(rng.rand(batch, size, size, 1) > 0.5, jnp.float32)
+    valid = jnp.ones((batch,), jnp.float32)
+    params, stats = tr.variables["params"], tr.variables["batch_stats"]
+    opt = tr.opt_state
+
+    comp = jax.jit(tr._train_step_impl).lower(
+        params, stats, opt, x, m, valid).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca["flops"])
+
+    def step(c):
+        p, s, o = c
+        p2, s2, o2, *_ = tr._train_step_impl(p, s, o, x, m, valid)
+        return (p2, s2, o2)
+
+    null = _loop_jit(lambda c: c + 1, iters)
+    zero = jnp.float32(0)
+    _time_once(null, zero)
+    fn = _loop_jit(step, iters)
+    _time_once(fn, (params, stats, opt))  # compile
+    overhead = min(_time_once(null, zero) for _ in range(2))
+    sec = max(min(_time_once(fn, (params, stats, opt)) for _ in range(2))
+              - overhead, 0) / iters
+    return batch / sec, flops / sec / PEAK_BF16_FLOPS
+
+
 def bench_file_pipeline(engine, size, n_images=40, batch=8):
     """Honest CLI contract: PNG files in -> full artifact tree out
     (decode, rolling ball, forward, CC, per-image CSVs, mask PNGs, master
@@ -144,6 +187,7 @@ def main():
     img_per_s = bench_engine_loop(engine, imgs, SIZE)
     file_img_per_s = bench_file_pipeline(engine, SIZE)
     device_img_per_s = bench_device_only(engine, imgs, SIZE)
+    train_img_per_s, train_mfu = bench_train_step(SIZE, BATCH)
 
     with open("BASELINE_MEASURED.json") as f:
         base = json.load(f)["reference_e2e_512_img_per_s"]
@@ -158,6 +202,8 @@ def main():
             "device_only_img_per_s": round(device_img_per_s, 3),
             "file_pipeline_img_per_s": round(file_img_per_s, 3),
             "file_pipeline_vs_baseline": round(file_img_per_s / base, 2),
+            "train_img_per_s": round(train_img_per_s, 3),
+            "train_mfu": round(train_mfu, 4),
             "baseline_img_per_s": base,
         },
     }))

@@ -291,3 +291,117 @@ def test_prefetcher_propagates_and_orders():
 
     with pytest.raises(ValueError):
         list(Prefetcher(boom()))
+
+
+def test_chunked_training_matches_per_step(tiny_dataset):
+    """step_chunk>1 fuses K steps into one lax.scan dispatch.
+
+    Eval chunking (fixed params, no Adam amplification) must match the
+    per-step path to f32 fusion noise; a trained epoch is compared at a
+    loose tolerance because per-step rounding differences between the two
+    XLA programs amplify chaotically through Adam's normalized updates."""
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+
+    def make(chunk):
+        cfg = TrainConfig(model="unetdc", num_epochs=1, batch_size=2,
+                          img_size=32, compute_dtype="f32",
+                          background_radius=10, augment=True,
+                          step_chunk=chunk, seed=5)
+        return Trainer(cfg)
+
+    def val_data():
+        return SegmentationData(img_dir, mask_dir, images, masks,
+                                batch_size=2)
+
+    # --- eval chunk: same params, must agree tightly -------------------
+    e1 = make(1).run_epoch_eval(val_data())
+    e2 = make(4).run_epoch_eval(val_data())
+    np.testing.assert_allclose(e1[:3], e2[:3], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(e1[3]), np.asarray(e2[3]))
+
+    # --- train epoch: 3 batches -> one 2-chunk + leftover --------------
+    def run(chunk):
+        tr = make(chunk)
+        data = SegmentationData(img_dir, mask_dir, images, masks,
+                                batch_size=2, shuffle=True, seed=1)
+        metrics = tr.run_epoch_train(data, epoch=0)
+        return metrics, tr.variables["params"]
+
+    m1, p1 = run(1)
+    m2, p2 = run(2)
+    np.testing.assert_allclose(m1, m2, rtol=5e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3), p1, p2)
+
+
+def test_dataset_decode_cache(tiny_dataset):
+    """Second epoch serves decoded samples from RAM (no re-decode)."""
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    data = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2)
+    b1 = [b["images"].copy() for b in data.batches()]
+    assert len(data._cache) == len(images)
+    calls = {"n": 0}
+
+    import unetdc_tpu.io.native as nat
+    real_decode = nat.decode_rgb
+
+    def counting(path):
+        calls["n"] += 1
+        return real_decode(path)
+
+    nat.decode_rgb = counting
+    try:
+        b2 = [b["images"] for b in data.batches()]
+    finally:
+        nat.decode_rgb = real_decode
+    assert calls["n"] == 0
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)
+
+    # cap 0 disables caching
+    data0 = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2,
+                             cache_bytes=0)
+    list(data0.batches())
+    assert not data0._cache
+
+
+def test_fast_remap_matches_gather_path(rng):
+    """_remap_subpixel (gather-free 9-shift select) must reproduce
+    _remap_bilinear/_remap_nearest exactly for sub-pixel displacements."""
+    from unetdc_tpu.data.augment import (_remap_bilinear, _remap_nearest,
+                                         _remap_subpixel)
+
+    img = jnp.asarray(rng.rand(33, 41, 3), jnp.float32)
+    mask = jnp.asarray(rng.rand(33, 41) > 0.5, jnp.float32)
+    dy = jnp.asarray(rng.uniform(-0.999, 0.999, (33, 41)), jnp.float32)
+    dx = jnp.asarray(rng.uniform(-0.999, 0.999, (33, 41)), jnp.float32)
+    yy = jnp.arange(33, dtype=jnp.float32)[:, None] + dy
+    xx = jnp.arange(41, dtype=jnp.float32)[None, :] + dx
+    np.testing.assert_allclose(
+        np.asarray(_remap_bilinear(img, yy, xx)),
+        np.asarray(_remap_subpixel(img, dy, dx, nearest=False)), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(_remap_nearest(mask, yy, xx)),
+        np.asarray(_remap_subpixel(mask, dy, dx, nearest=True)))
+
+
+def test_elastic_coarse_field_subpixel():
+    """The coarse-grid elastic field (large images) stays sub-pixel and
+    smooth, like the exact small-image path."""
+    from unetdc_tpu.data.augment import _elastic_displacement
+
+    dy, dx = _elastic_displacement(jax.random.PRNGKey(0), (512, 512),
+                                   1.0, 50.0)
+    assert dy.shape == (512, 512) and dx.shape == (512, 512)
+    assert float(jnp.abs(dy).max()) < 1.0
+    assert float(jnp.abs(dx).max()) < 1.0
+    # smoothness: neighboring displacement deltas are tiny
+    assert float(jnp.abs(jnp.diff(dy, axis=0)).max()) < 0.02

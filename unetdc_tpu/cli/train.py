@@ -24,6 +24,8 @@ def build_parser():
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--step_chunk", type=int, default=8,
+                   help="train/eval steps fused per device dispatch (lax.scan); 1 disables")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (larger batches)")
     p.add_argument("--resume", action="store_true",
@@ -58,7 +60,7 @@ def main(argv=None):
         save_val_masks_dir=args.val_masks_dir, compute_dtype=args.precision,
         augment=not args.no_augment,
         resume=args.resume, history_jsonl=args.history_jsonl,
-        remat=args.remat)
+        remat=args.remat, step_chunk=args.step_chunk)
     trainer = Trainer(cfg, mesh=mesh)
     mk = lambda il, ml, sh: SegmentationData(
         args.image_dir, args.mask_dir, il, ml, batch_size=args.batch,

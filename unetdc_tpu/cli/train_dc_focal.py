@@ -42,6 +42,8 @@ def build_parser():
     p.add_argument("--shard_space", type=int, default=1,
                    help="additionally shard image height over this many "
                         "devices (mesh = data_parallel x shard_space)")
+    p.add_argument("--step_chunk", type=int, default=8,
+                   help="train/eval steps fused per device dispatch (lax.scan); 1 disables")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (larger batches)")
     p.add_argument("--resume", action="store_true",
@@ -88,7 +90,8 @@ def main(argv=None):
         plateau_scheduler=args.plateau_scheduler,
         compute_dtype=args.precision, augment=not args.no_augment,
         resume=args.resume, history_jsonl=args.history_jsonl,
-        remat=args.remat, shard_space=args.shard_space > 1)
+        remat=args.remat, shard_space=args.shard_space > 1,
+        step_chunk=args.step_chunk)
     trainer = Trainer(cfg, mesh=mesh)
 
     mk = lambda il, ml, sh: SegmentationData(

@@ -42,13 +42,89 @@ def _rot90_k(img: jax.Array, k: jax.Array) -> jax.Array:
 
 def _elastic_displacement(key, shape: Tuple[int, int], alpha: float,
                           sigma: float):
+    """Smoothed random displacement field.
+
+    At sigma=50 a full-resolution 512^2 synthesis needs a 401-tap separable
+    blur — measured 100+ ms/batch-8 on TPU, dominating the whole train
+    step. A sigma-50 blur has no energy above ~1/50 px^-1, so the field is
+    synthesized on a stride-s coarse grid (sigma/s blur) and bilinearly
+    upsampled: same smoothness class, ~60x cheaper. s=1 (small images)
+    keeps the exact full-resolution path."""
     h, w = shape
     kx, ky = jax.random.split(key)
-    dx = jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0)
-    dy = jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0)
-    dx = gaussian_filter_scipy(dx, sigma) * alpha
-    dy = gaussian_filter_scipy(dy, sigma) * alpha
+    s = min(max(1, min(h, w) // 64), max(1, int(sigma // 6)))
+    if s == 1:
+        dx = jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0)
+        dy = jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0)
+        dx = gaussian_filter_scipy(dx, sigma) * alpha
+        dy = gaussian_filter_scipy(dy, sigma) * alpha
+        return dy, dx
+    ch, cw = -(-h // s), -(-w // s)
+    dx = jax.random.uniform(kx, (ch, cw), minval=-1.0, maxval=1.0)
+    dy = jax.random.uniform(ky, (ch, cw), minval=-1.0, maxval=1.0)
+    dx = gaussian_filter_scipy(dx, sigma / s) * alpha
+    dy = gaussian_filter_scipy(dy, sigma / s) * alpha
+    dx = jax.image.resize(dx, (ch * s, cw * s), "bilinear")[:h, :w]
+    dy = jax.image.resize(dy, (ch * s, cw * s), "bilinear")[:h, :w]
     return dy, dx
+
+
+def _shift_r101(img: jax.Array, oy: int, ox: int) -> jax.Array:
+    """img shifted by (oy, ox) with reflect-101 edges (cv2 default):
+    out[y, x] = img[reflect(y+oy), reflect(x+ox)]."""
+    pad = [(max(-oy, 0), max(oy, 0)), (max(-ox, 0), max(ox, 0))]
+    pad += [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="reflect")
+    h, w = img.shape[:2]
+    y0, x0 = oy + max(-oy, 0), ox + max(-ox, 0)
+    return p[y0:y0 + h, x0:x0 + w]
+
+
+def _remap_subpixel(img: jax.Array, dy: jax.Array, dx: jax.Array,
+                    nearest: bool) -> jax.Array:
+    """Gather-free remap for |displacement| < 1 px (true for alpha <= 1):
+    every source pixel lies in the 3x3 neighborhood, so the lookup becomes
+    selects over 9 statically shifted copies — random-access gathers over a
+    512^2 image are ~10x slower on TPU. Same arithmetic as
+    `_remap_bilinear` / `_remap_nearest` (reflect-101 edges)."""
+    eps = 1e-6
+    dy = jnp.clip(dy, -1 + eps, 1 - eps)
+    dx = jnp.clip(dx, -1 + eps, 1 - eps)
+    S = {(oy, ox): _shift_r101(img, oy, ox)
+         for oy in (-1, 0, 1) for ox in (-1, 0, 1)}
+
+    def _b(m):  # broadcast a (h,w) bool over trailing channel dims
+        return m[..., None] if img.ndim == 3 else m
+
+    if nearest:
+        ry = jnp.round(dy).astype(jnp.int32)
+        rx = jnp.round(dx).astype(jnp.int32)
+        out = S[(0, 0)]
+        for oy in (-1, 0, 1):
+            for ox in (-1, 0, 1):
+                if (oy, ox) == (0, 0):
+                    continue
+                out = jnp.where(_b((ry == oy) & (rx == ox)), S[(oy, ox)], out)
+        return out
+
+    ey = dy < 0
+    ex = dx < 0
+    fy = dy - jnp.where(ey, -1.0, 0.0)
+    fx = dx - jnp.where(ex, -1.0, 0.0)
+
+    def corner(a, b):
+        return jnp.where(
+            _b(ey & ex), S[(a - 1, b - 1)],
+            jnp.where(_b(ey & ~ex), S[(a - 1, b)],
+                      jnp.where(_b(~ey & ex), S[(a, b - 1)], S[(a, b)])))
+
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    return (corner(0, 0) * (1 - fy) * (1 - fx)
+            + corner(0, 1) * (1 - fy) * fx
+            + corner(1, 0) * fy * (1 - fx)
+            + corner(1, 1) * fy * fx)
 
 
 def _reflect101_idx(i: jax.Array, n: int) -> jax.Array:
@@ -118,10 +194,14 @@ def _augment_one(key, img: jax.Array, mask: jax.Array,
     h, w = mask.shape
     dy, dx = _elastic_displacement(keys[8], (h, w), elastic_alpha,
                                    elastic_sigma)
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + dy
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
-    img_el = _remap_bilinear(img, yy, xx)
-    mask_el = _remap_nearest(mask, yy, xx)
+    if elastic_alpha <= 1.0:  # sub-pixel warp: gather-free fast path
+        img_el = _remap_subpixel(img, dy, dx, nearest=False)
+        mask_el = _remap_subpixel(mask, dy, dx, nearest=True)
+    else:
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None] + dy
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :] + dx
+        img_el = _remap_bilinear(img, yy, xx)
+        mask_el = _remap_nearest(mask, yy, xx)
     img = jnp.where(do_el, img_el, img)
     mask = jnp.where(do_el, mask_el, mask)
     return img, mask

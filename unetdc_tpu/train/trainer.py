@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import lax
 
 from unetdc_tpu.checkpoint.native import save_checkpoint  # noqa: F401 (re-export)
 from unetdc_tpu.data.augment import augment_batch
@@ -75,6 +76,18 @@ class TrainConfig:
     # (XLA inserts conv halo exchanges); the scaling axis for images larger
     # than one chip's HBM (SURVEY §5 spatial axis)
     shard_space: bool = False
+    # fuse up to this many train/eval steps into ONE dispatch (lax.scan):
+    # on the axon relay each jit call costs ~0.1 s of host latency, so the
+    # per-step path tops out near 50 img/s while the device step itself
+    # runs 142 img/s. 1 disables. Only full same-shape chunks are fused;
+    # leftovers take the per-step path (identical numerics, same PRNG
+    # stream). Ignored under a mesh (chunk upload sharding not wired).
+    step_chunk: int = 8
+    # keep raw uint8 samples resident in device HBM (keyed by the dataset
+    # decode cache's stable array identities) so epochs 2+ re-upload
+    # nothing: the relay's host->device path runs at ~20 MB/s, which alone
+    # caps 512^2 training at ~25 img/s. Byte budget; 0 disables.
+    device_cache_bytes: int = 2 << 30
 
 
 class Trainer:
@@ -119,9 +132,40 @@ class Trainer:
         self._preprocess = jax.jit(
             self._preprocess_impl,
             static_argnames=("background_radius", "apply_bg"))
+        self._chunk_train = jax.jit(
+            self._chunk_train_impl, donate_argnums=(0, 1, 2),
+            static_argnames=("background_radius", "do_augment"))
+        self._chunk_eval = jax.jit(
+            self._chunk_eval_impl, static_argnames=("background_radius",))
         self.history: Dict[str, List[float]] = {
             k: [] for k in ("train_loss", "val_loss", "train_dice",
                             "val_dice", "train_acc", "val_acc")}
+        # id(host sample array) -> (device copy, host ref) — the host ref
+        # pins the array so its id stays valid for the cache's lifetime
+        self._devbank: Dict[int, tuple] = {}
+        self._devbank_bytes_left = int(config.device_cache_bytes)
+
+    def _stack_batch(self, batch):
+        """(imgs, masks) as device arrays, via the device-resident sample
+        bank when possible (no re-upload on later epochs)."""
+        if (self.mesh is None and self._devbank_bytes_left > 0
+                and "sample_images" in batch):
+            def dev(arr):
+                hit = self._devbank.get(id(arr))
+                if hit is not None:
+                    return hit[0]
+                d = jnp.asarray(arr)
+                if arr.flags.writeable is False and \
+                        arr.nbytes <= self._devbank_bytes_left:
+                    # only cache arrays the dataset itself caches (frozen):
+                    # a mutable array's id could be reused after free
+                    self._devbank[id(arr)] = (d, arr)
+                    self._devbank_bytes_left -= arr.nbytes
+                return d
+            imgs = jnp.stack([dev(a) for a in batch["sample_images"]])
+            masks = jnp.stack([dev(a) for a in batch["sample_masks"]])
+            return imgs, masks
+        return jnp.asarray(batch["images"]), jnp.asarray(batch["masks"])
 
     # ------------------------------------------------------------------
     def _preprocess_impl(self, imgs_u8, masks_u8, background_radius: int,
@@ -168,6 +212,46 @@ class Trainer:
         dice, correct = self._metrics(probs, masks, valid)
         return params, new_stats, opt_state, loss, dice, correct
 
+    def _chunk_train_impl(self, params, batch_stats, opt_state, imgs_u8,
+                          masks_u8, valid, keys, background_radius: int,
+                          do_augment: bool):
+        """K preprocess+augment+train steps in ONE dispatch (lax.scan over
+        the leading K axis) — amortizes the relay's per-call latency, which
+        otherwise dominates the 56 ms device step. Returns new state plus
+        the chunk's summed (loss, dice, correct)."""
+        def body(carry, xs):
+            p, s, o, l, d, c = carry
+            img, msk, v, key = xs
+            x, m = self._preprocess_impl(img, msk, background_radius, True)
+            if do_augment:
+                x, m = augment_batch(key, x, m)
+            p, s, o, loss, dice, corr = self._train_step_impl(
+                p, s, o, x, m[..., None], v)
+            return (p, s, o, l + loss, d + dice, c + corr), ()
+
+        zero = jnp.float32(0)
+        out, _ = lax.scan(body,
+                          (params, batch_stats, opt_state, zero, zero, zero),
+                          (imgs_u8, masks_u8, valid, keys))
+        return out
+
+    def _chunk_eval_impl(self, params, batch_stats, imgs_u8, masks_u8,
+                         valid, background_radius: int):
+        """K eval steps in one dispatch; summed metrics only (no probs —
+        mask saving uses the per-step path)."""
+        def body(carry, xs):
+            l, d, c, cnt = carry
+            img, msk, v = xs
+            x, m = self._preprocess_impl(img, msk, background_radius, True)
+            _, loss, dice, corr, counts = self._eval_step_impl(
+                params, batch_stats, x, m[..., None], v)
+            return (l + loss, d + dice, c + corr, cnt + counts), ()
+
+        zero = jnp.float32(0)
+        init = (zero, zero, zero, jnp.zeros(4, jnp.int32))
+        out, _ = lax.scan(body, init, (imgs_u8, masks_u8, valid))
+        return out
+
     def _eval_step_impl(self, params, batch_stats, images, masks, valid):
         logits = self.model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
@@ -187,8 +271,7 @@ class Trainer:
         so they are EXCLUDED from loss, gradients, BatchNorm statistics and
         all metrics (losses._wmean / models sample_mask) — padded and
         unpadded runs are numerically identical."""
-        imgs = jnp.asarray(batch["images"])
-        masks = jnp.asarray(batch["masks"])
+        imgs, masks = self._stack_batch(batch)
         n_valid = int(batch.get("n_valid", imgs.shape[0]))
         valid = np.ones(imgs.shape[0], np.float32)
         valid[n_valid:] = 0.0
@@ -214,6 +297,13 @@ class Trainer:
         # mask channel dim (utils/data_loader.py:66-68)
         return x, m[..., None], jnp.asarray(valid)
 
+    def _chunkable(self, batch) -> bool:
+        """Full same-size batches fuse into scan chunks; ragged tails and
+        odd-sized buckets fall back to the per-step path."""
+        return (self.mesh is None and self.cfg.step_chunk > 1
+                and batch["n_valid"] == self.cfg.batch_size
+                and batch["images"].shape[0] == self.cfg.batch_size)
+
     def run_epoch_train(self, data: SegmentationData, epoch: int):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed * 1000 + epoch)
@@ -223,10 +313,12 @@ class Trainer:
         dev_metrics = []
         tot_px = 0
         n_batches = 0
-        for batch in Prefetcher(data.batches()):
+        px = cfg.img_size * cfg.img_size
+        pend = []  # same-shape full batches awaiting one chunk dispatch
+
+        def step_one(batch, sub):
             x, m, valid = self._device_batch(batch)
             if cfg.augment:
-                key, sub = jax.random.split(key)
                 x, m2 = augment_batch(sub, x, m[..., 0])
                 m = m2[..., None]
             (self.variables["params"], self.variables["batch_stats"],
@@ -234,8 +326,48 @@ class Trainer:
                 self.variables["params"], self.variables["batch_stats"],
                 self.opt_state, x, m, valid)
             dev_metrics.append((loss, dice, correct))
-            tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
+
+        def flush(pend):
+            if len(pend) == 1:
+                step_one(*pend[0])
+                return
+            stacked = [self._stack_batch(b) for b, _ in pend]
+            imgs = jnp.stack([s[0] for s in stacked])
+            masks = jnp.stack([s[1] for s in stacked])
+            valid = jnp.ones((len(pend), cfg.batch_size), jnp.float32)
+            keys = jnp.stack([k for _, k in pend])
+            (self.variables["params"], self.variables["batch_stats"],
+             self.opt_state, loss, dice, correct) = self._chunk_train(
+                self.variables["params"], self.variables["batch_stats"],
+                self.opt_state, imgs, masks, valid, keys,
+                cfg.background_radius, cfg.augment)
+            dev_metrics.append((loss, dice, correct))
+
+        for batch in Prefetcher(data.batches()):
+            # one key split per batch regardless of path: the chunked and
+            # per-step loops consume the identical PRNG stream
+            key, sub = jax.random.split(key)
+            tot_px += batch["n_valid"] * px
             n_batches += 1
+            if not self._chunkable(batch):
+                for p in pend:
+                    step_one(*p)
+                pend = []
+                step_one(batch, sub)
+                continue
+            pend.append((batch, sub))
+            if (len(pend) == cfg.step_chunk or
+                    pend[0][0]["images"].shape != batch["images"].shape):
+                same = [p for p in pend
+                        if p[0]["images"].shape == pend[0][0]["images"].shape]
+                rest = pend[len(same):]
+                flush(same)
+                pend = rest
+        while pend:
+            shape = pend[0][0]["images"].shape
+            same = [p for p in pend if p[0]["images"].shape == shape]
+            flush(same)
+            pend = pend[len(same):]
         tot_loss, tot_dice, tot_correct = self._sum_metrics(dev_metrics)
         return (tot_loss / max(n_batches, 1), tot_dice / max(n_batches, 1),
                 tot_correct / max(tot_px, 1))
@@ -256,17 +388,53 @@ class Trainer:
         dev_counts = []
         tot_px = 0
         n_batches = 0
-        for batch in Prefetcher(data.batches()):
+        px = self.cfg.img_size * self.cfg.img_size
+        pend = []
+
+        def flush(pend):
+            stacked = [self._stack_batch(b) for b in pend]
+            imgs = jnp.stack([s[0] for s in stacked])
+            masks = jnp.stack([s[1] for s in stacked])
+            valid = jnp.ones((len(pend), self.cfg.batch_size), jnp.float32)
+            loss, dice, correct, counts = self._chunk_eval(
+                self.variables["params"], self.variables["batch_stats"],
+                imgs, masks, valid, self.cfg.background_radius)
+            dev_metrics.append((loss, dice, correct))
+            dev_counts.append(counts)
+
+        def step_one(batch):
             x, m, valid = self._device_batch(batch)
             probs, loss, dice, correct, counts = self._eval_step(
                 self.variables["params"], self.variables["batch_stats"], x, m,
                 valid)
             dev_metrics.append((loss, dice, correct))
             dev_counts.append(counts)
-            tot_px += batch["n_valid"] * int(np.prod(m.shape[1:]))
-            n_batches += 1
             if save_masks_dir is not None:
                 self._save_pred_masks(probs, batch, save_masks_dir)
+
+        for batch in Prefetcher(data.batches()):
+            tot_px += batch["n_valid"] * px
+            n_batches += 1
+            if save_masks_dir is not None or not self._chunkable(batch):
+                while pend:
+                    shape = pend[0]["images"].shape
+                    same = [b for b in pend if b["images"].shape == shape]
+                    flush(same)
+                    pend = pend[len(same):]
+                step_one(batch)
+                continue
+            pend.append(batch)
+            if (len(pend) == self.cfg.step_chunk or
+                    pend[0]["images"].shape != batch["images"].shape):
+                shape = pend[0]["images"].shape
+                same = [b for b in pend if b["images"].shape == shape]
+                flush(same)
+                pend = pend[len(same):]
+        while pend:
+            shape = pend[0]["images"].shape
+            same = [b for b in pend if b["images"].shape == shape]
+            flush(same)
+            pend = pend[len(same):]
         tot_loss, tot_dice, tot_correct = self._sum_metrics(dev_metrics)
         counts_sum = (np.asarray(jnp.stack(dev_counts)).astype(np.int64)
                       .sum(axis=0) if dev_counts else np.zeros(4, np.int64))
