@@ -179,6 +179,18 @@ def main():
     model = UNetDC()
     variables = init_params(model, jax.random.PRNGKey(0),
                             input_shape=(1, 64, 64, 3))
+    # Saturate the head (the tests/torch_reference.py recipe, centered at
+    # the 98th logit percentile): thresholded masks then have droplet-like
+    # sparsity (~2% foreground, ~1.5k components/image) and real spatial structure, instead of the
+    # all-foreground output of a raw random init — so the CC/regionprops
+    # stage is loaded like production, and masks are bit-stable in bf16.
+    probe = jnp.asarray(
+        make_blob_images(1, 128, 128, seed=3), jnp.float32) / 255.0
+    logits = UNetDC(apply_sigmoid=False).apply(variables, probe, train=False)
+    center = float(jnp.quantile(logits, 0.98))
+    oc = variables["params"]["out_conv"]
+    oc["kernel"] = oc["kernel"] * 300.0
+    oc["bias"] = (oc["bias"] - center) * 300.0
     engine = QuantifyEngine(variables, compute_dtype=jnp.bfloat16)
 
     imgs = make_blob_images(BATCH, SIZE, SIZE)
