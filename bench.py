@@ -63,7 +63,7 @@ def bench_engine_loop(engine, imgs, size):
     return float(max(timed_run(d) for _ in range(2) for d in (2, 3)))
 
 
-def bench_device_only(engine, imgs, size, iters=12):
+def bench_device_only(engine, imgs, size, iters=24):
     """Pure device megastep time: loop the megastep inside ONE jit (the
     ~30 ms relay dispatch overhead otherwise swamps per-step timing)."""
     import jax.numpy as jnp
@@ -83,7 +83,7 @@ def bench_device_only(engine, imgs, size, iters=12):
     overhead = min(_time_once(null, zero) for _ in range(3))
     fn = _loop_jit(op, iters)
     _time_once(fn, x)  # compile
-    sec = max(min(_time_once(fn, x) for _ in range(2)) - overhead, 0) / iters
+    sec = max(min(_time_once(fn, x) for _ in range(3)) - overhead, 0) / iters
     return imgs.shape[0] / sec if sec else float("inf")
 
 
