@@ -405,3 +405,66 @@ def test_elastic_coarse_field_subpixel():
     assert float(jnp.abs(dx).max()) < 1.0
     # smoothness: neighboring displacement deltas are tiny
     assert float(jnp.abs(jnp.diff(dy, axis=0)).max()) < 0.02
+
+
+def test_chunked_training_mixed_sizes(tmp_path):
+    """Chunk grouping flushes correctly at image-size boundaries: a dataset
+    with two original sizes must train without error and count every batch
+    once (metrics from chunked == per-step)."""
+    from PIL import Image
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    rng = np.random.RandomState(5)
+    img_dir = tmp_path / "img"
+    mask_dir = tmp_path / "msk"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    for i, size in enumerate([40, 40, 48, 48, 40, 40, 48, 48]):
+        Image.fromarray((rng.rand(size, size, 3) * 255).astype(np.uint8)
+                        ).save(img_dir / f"m{i}.png")
+        Image.fromarray(((rng.rand(size, size) > 0.5) * 255).astype(np.uint8)
+                        ).save(mask_dir / f"m{i}.png")
+    images, masks = discover_pairs(str(img_dir), str(mask_dir))
+
+    def run(chunk):
+        cfg = TrainConfig(model="unetdc", batch_size=2, img_size=32,
+                          compute_dtype="f32", background_radius=10,
+                          augment=False, step_chunk=chunk, seed=2)
+        tr = Trainer(cfg)
+        data = SegmentationData(str(img_dir), str(mask_dir), images, masks,
+                                batch_size=2)  # no shuffle: sizes alternate
+        return tr.run_epoch_train(data, 0)
+
+    m1 = run(1)
+    m4 = run(4)  # forces flush at each 40<->48 boundary
+    np.testing.assert_allclose(m1, m4, rtol=5e-3)
+
+
+def test_device_bank_byte_cap(tiny_dataset):
+    """device_cache_bytes caps the HBM sample bank; 0 disables it."""
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    data = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2)
+    batches = list(data.batches())
+
+    tr = Trainer(TrainConfig(model="unetdc", batch_size=2, img_size=32,
+                             compute_dtype="f32", device_cache_bytes=0))
+    tr._stack_batch(batches[0])
+    assert not tr._devbank
+
+    one_sample = batches[0]["sample_images"][0].nbytes + \
+        batches[0]["sample_masks"][0].nbytes
+    tr2 = Trainer(TrainConfig(model="unetdc", batch_size=2, img_size=32,
+                              compute_dtype="f32",
+                              device_cache_bytes=one_sample + 1))
+    a, b = tr2._stack_batch(batches[0])
+    # only what fits was cached, and re-stacking reuses it
+    n_before = len(tr2._devbank)
+    assert 0 < n_before < 4
+    tr2._stack_batch(batches[0])
+    assert len(tr2._devbank) == n_before
+    np.testing.assert_array_equal(np.asarray(a), batches[0]["images"])
