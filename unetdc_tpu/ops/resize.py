@@ -145,6 +145,12 @@ def resize_linear_u8_cv2exact(img: jax.Array, out_hw) -> jax.Array:
     """
     oh, ow = out_hw
     h, w = img.shape
+    if (oh, ow) == (h, w):
+        # scale-1 INTER_LINEAR is exactly identity in cv2's fixed-point
+        # path (weight 2048 = 2^11, (2048*p*2048)>>22 == p). Shortcut it:
+        # XLA elides the emulation standalone, but fused into the megastep
+        # the dead 512->512 resize measured +5 ms/batch-8.
+        return img
     x0c, x1c, ax0, ax1 = _coeffs_fixed(w, ow)
     y0c, y1c, by0, by1 = _coeffs_fixed(h, oh)
     sf = img.astype(jnp.float32)
