@@ -10,9 +10,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# On this 1-vCPU host a heavily-collective program timeshares 8 device
+# threads on one core; XLA CPU's default 40 s collective-rendezvous
+# terminate timeout then SIGABRTs a run that is merely slow, not stuck
+# (it killed a full-suite run at test_graft_entry in round 2). These flags
+# are harmless for every other test and must match __graft_entry__'s so the
+# backend is initialized with them no matter which test runs first.
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -86,7 +86,11 @@ def _remap_subpixel(img: jax.Array, dy: jax.Array, dx: jax.Array,
     every source pixel lies in the 3x3 neighborhood, so the lookup becomes
     selects over 9 statically shifted copies — random-access gathers over a
     512^2 image are ~10x slower on TPU. Same arithmetic as
-    `_remap_bilinear` / `_remap_nearest` (reflect-101 edges)."""
+    `_remap_bilinear` / `_remap_nearest` (reflect-101 edges), with one
+    boundary caveat: displacements of EXACTLY +/-1 are clipped to
+    +/-(1-1e-6) so the 3x3 neighborhood stays valid, perturbing the
+    bilinear weights by 1e-6 at those measure-zero values (the nearest
+    path is unaffected — they still round to +/-1)."""
     eps = 1e-6
     dy = jnp.clip(dy, -1 + eps, 1 - eps)
     dx = jnp.clip(dx, -1 + eps, 1 - eps)
@@ -97,8 +101,16 @@ def _remap_subpixel(img: jax.Array, dy: jax.Array, dx: jax.Array,
         return m[..., None] if img.ndim == 3 else m
 
     if nearest:
-        ry = jnp.round(dy).astype(jnp.int32)
-        rx = jnp.round(dx).astype(jnp.int32)
+        # _remap_nearest rounds the ABSOLUTE coordinate round(y+dy); with
+        # round-half-to-even, round(dy) alone disagrees at dy = +/-0.5
+        # depending on the parity of y. Compute the offset from the
+        # parity-aware coordinate round so the equivalence is exact even at
+        # those (measure-zero for blurred random fields) boundary values.
+        h, w = dy.shape
+        yy = jnp.arange(h, dtype=dy.dtype)[:, None]
+        xx = jnp.arange(w, dtype=dx.dtype)[None, :]
+        ry = (jnp.round(yy + dy) - yy).astype(jnp.int32)
+        rx = (jnp.round(xx + dx) - xx).astype(jnp.int32)
         out = S[(0, 0)]
         for oy in (-1, 0, 1):
             for ox in (-1, 0, 1):

@@ -214,6 +214,16 @@ class QuantifyEngine:
         else:
             packed, layout = out
             buf = np.asarray(packed)  # the single device->host transfer
+            # Guard the _layout_for invariant (shapes independent of
+            # thresh/min_area/radius/apply_bg): if a future megastep change
+            # makes a shape depend on one of them, fail loudly here instead
+            # of silently mis-slicing the buffer.
+            expect = layout[-1][3] + layout[-1][4] if layout else 0
+            if buf.shape[1] != expect:
+                raise RuntimeError(
+                    f"packed megastep buffer is {buf.shape[1]} bytes/row but "
+                    f"the static layout expects {expect}: an output shape "
+                    "now depends on a non-shape arg — update _layout_for")
             host = {}
             for k, dt, sh, off, nb in layout:
                 seg = np.ascontiguousarray(buf[:, off:off + nb])

@@ -148,7 +148,7 @@ class Trainer:
     def _stack_batch(self, batch):
         """(imgs, masks) as device arrays, via the device-resident sample
         bank when possible (no re-upload on later epochs)."""
-        if (self.mesh is None and self._devbank_bytes_left > 0
+        if (self.mesh is None and self.cfg.device_cache_bytes > 0
                 and "sample_images" in batch):
             def dev(arr):
                 hit = self._devbank.get(id(arr))
