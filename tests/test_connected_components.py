@@ -36,6 +36,37 @@ def test_label_matches_scipy(rng, connectivity, struct, p):
     np.testing.assert_array_equal(np.asarray(ours), ref)
 
 
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_cum_scan_propagation_matches_hillis_steele(rng, connectivity):
+    """The offset-trick cumulative-scan propagation (the r3 default within
+    its int32 headroom, `_seg_scan_cum`) must be bit-identical to the
+    Hillis-Steele doubling fallback for both min-root and rank-max
+    propagation, including batched inputs."""
+    from unetdc_tpu.ops.connected_components import _propagate, _cumsum2d
+    import jax
+
+    for p in (0.25, 0.5, 0.75):
+        m = _random_mask(rng, (3, 37, 53), p)
+        fg = jnp.asarray(m, bool)
+        h, w = fg.shape[-2:]
+        idx = jnp.broadcast_to(
+            jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), fg.shape)
+        big = h * w
+        roots = {}
+        for impl in ("hs", "cum"):
+            roots[impl] = _propagate(idx, fg, big, connectivity, True,
+                                     scan_impl=impl)
+        np.testing.assert_array_equal(np.asarray(roots["hs"])[m > 0],
+                                      np.asarray(roots["cum"])[m > 0])
+        is_root = fg & (roots["hs"] == idx)
+        rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
+        seed = jnp.where(is_root, rank, 0)
+        labs = {impl: _propagate(seed, fg, 0, connectivity, False,
+                                 scan_impl=impl) for impl in ("hs", "cum")}
+        np.testing.assert_array_equal(np.asarray(labs["hs"])[m > 0],
+                                      np.asarray(labs["cum"])[m > 0])
+
+
 def test_label_empty_and_full():
     z = np.zeros((16, 16), np.uint8)
     l0, n0 = label(jnp.asarray(z))

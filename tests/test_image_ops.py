@@ -103,6 +103,24 @@ def test_erode_dilate_open_close_match_cv2(rng, ksize):
         np.testing.assert_array_equal(ours, ref, err_msg=f"{ours_fn.__name__} k={ksize}")
 
 
+@pytest.mark.parametrize("ksize", [3, 15, 50])
+def test_morph_chain_matches_reduce_window(rng, ksize):
+    """The incremental shift-chain horizontal pass (r3 default for nested
+    footprints) must be bit-identical to the per-width reduce_window
+    fallback for both erosion and dilation."""
+    from unetdc_tpu.ops.morphology import _morph_anchor
+
+    img = (rng.rand(80, 80) * 255).astype(np.uint8)
+    kern = ellipse_kernel(ksize)
+    anchor = (ksize // 2, ksize // 2)
+    for is_erode in (True, False):
+        a = np.asarray(_morph_anchor(jnp.asarray(img), kern, anchor,
+                                     is_erode, impl="chain"))
+        b = np.asarray(_morph_anchor(jnp.asarray(img), kern, anchor,
+                                     is_erode, impl="window"))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_box_close_open_matches_cv2(rng):
     """quantify_pipline.py:48-50 uses np.ones((15,15)) kernels."""
     img = ((rng.rand(128, 128) > 0.5) * 255).astype(np.uint8)

@@ -88,13 +88,67 @@ def _seg_scan(v: jax.Array, fg: jax.Array, identity, axis: int,
     return v
 
 
+def _run_ids(fg: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(row_rid, col_rid): 1-based index of the foreground run each pixel's
+    row/column position belongs to (monotone non-decreasing along the axis;
+    background pixels keep the id of the preceding run). Depends only on the
+    mask, so it is computed ONCE per propagation, outside the while_loop."""
+    rids = []
+    for axis in (-1, -2):
+        prev = _shift1d(fg, -1, axis, False)
+        start = fg & ~prev
+        rids.append(jnp.cumsum(start.astype(jnp.int32), axis=axis))
+    return rids[0], rids[1]
+
+
+def _seg_scan_cum(v: jax.Array, fg: jax.Array, fill, axis: int,
+                  reverse: bool, is_min: bool, rid: jax.Array, big: int
+                  ) -> jax.Array:
+    """Segmented scan as a PLAIN cumulative min/max via the run-id offset
+    trick: with values (incl. fill) in [0, big), u = v -/+ big*rid makes
+    every earlier(/later) run's value lose any min(/max) comparison against
+    the current run by at least big - fill > 0, so an ordinary prefix
+    min/max of u followed by undoing the offset is exactly the segmented
+    scan. This halves the Hillis-Steele work: the doubling ladder runs on
+    ONE int32 array (9 shift+combine steps) instead of the (value,
+    predicate) pair with per-step selects. (lax.cummin itself lowers ~4.5x
+    SLOWER than the ladder on this TPU backend — measured r3 — so the
+    ladder is hand-rolled.) Caller guarantees fill + big * max(rid) < 2^31
+    (checked statically in _propagate_xla)."""
+    v = jnp.where(fg, v, fill)  # bg holds stale values after a prior scan
+    # sign: offsets must penalize runs EARLIER in scan order for prefix
+    # scans and LATER for suffix scans; min penalizes upward, max downward.
+    sgn = (1 if reverse else -1) if is_min else (-1 if reverse else 1)
+    off = (sgn * big) * rid
+    u = v + off
+    # plain cummin/cummax via a hand-rolled doubling ladder: lax.cummin on
+    # this TPU backend lowers ~4.5x slower than these 9 shift+combine steps
+    # (measured via device_profile r3); the shifted-in pad constant only
+    # ever loses comparisons, so it needs no overflow headroom.
+    comb = jnp.minimum if is_min else jnp.maximum
+    pad_const = (2 ** 31 - 1) if is_min else -(2 ** 31)
+    n = u.shape[axis]
+    d = 1
+    shift_sgn = 1 if reverse else -1  # pull from the right when reversed
+    while d < n:
+        u = comb(u, _shift1d(u, shift_sgn * d, axis, pad_const))
+        d *= 2
+    return u - off
+
+
 def _sweep(lab: jax.Array, fg: jax.Array, fill, connectivity: int,
-           is_min: bool) -> jax.Array:
-    """One propagation sweep (see module docstring)."""
+           is_min: bool, rids=None, big: int = 0) -> jax.Array:
+    """One propagation sweep (see module docstring). With `rids`, row/col
+    segmented scans use the cummin/cummax offset trick (`_seg_scan_cum`)."""
     v = jnp.where(fg, lab, fill)
     for axis in (-1, -2):
-        v = _seg_scan(v, fg, fill, axis, False, is_min)
-        v = _seg_scan(v, fg, fill, axis, True, is_min)
+        if rids is not None:
+            rid = rids[0] if axis == -1 else rids[1]
+            v = _seg_scan_cum(v, fg, fill, axis, False, is_min, rid, big)
+            v = _seg_scan_cum(v, fg, fill, axis, True, is_min, rid, big)
+        else:
+            v = _seg_scan(v, fg, fill, axis, False, is_min)
+            v = _seg_scan(v, fg, fill, axis, True, is_min)
     if connectivity == 2:
         comb = jnp.minimum if is_min else jnp.maximum
         m = jnp.where(fg, v, fill)
@@ -103,28 +157,83 @@ def _sweep(lab: jax.Array, fg: jax.Array, fill, connectivity: int,
     return jnp.where(fg, v, lab)
 
 
-def _propagate_xla(init: jax.Array, fg: jax.Array, fill, connectivity: int,
-                   is_min: bool) -> jax.Array:
-    """Pure-XLA propagation (every sweep round-trips HBM)."""
-    def body(state):
-        lab, _ = state
-        new = _sweep(lab, fg, fill, connectivity, is_min)
-        return new, jnp.any(new != lab)
+def _scan_setup(fg: jax.Array, scan_impl: str):
+    """(scan_impl, rids, big) for _sweep.
 
-    lab, _ = lax.while_loop(lambda s: s[1], body, (init, jnp.bool_(True)))
+    scan_impl: 'cum' (offset-trick cumulative scans), 'hs' (Hillis-Steele
+    doubling), or None = auto: 'cum' whenever its int32 headroom holds —
+    values <= h*w and run ids <= ceil(n/2) along an n-length axis need
+    h*w + (h*w+1)*ceil(max(h,w)/2) < 2^31 (true through ~1290^2, which
+    also bounds the exact-regionprops images); 'hs' beyond.
+
+    big must exceed the max propagated VALUE (not the fill, which is 0 for
+    max-propagation): roots are flat indices < h*w, ranks <= ceil(h*w/2).
+    """
+    h, w = fg.shape[-2:]
+    big = h * w + 1
+    if scan_impl is None:
+        fits = h * w + big * (max(h, w) // 2 + 1) < 2 ** 31
+        scan_impl = "cum" if fits else "hs"
+    rids = _run_ids(fg) if scan_impl == "cum" else None
+    return scan_impl, rids, big
+
+
+def _propagate_xla(init: jax.Array, fg: jax.Array, fill, connectivity: int,
+                   is_min: bool, scan_impl: str = None) -> jax.Array:
+    """Pure-XLA propagation to fixpoint (every sweep round-trips HBM)."""
+    lab, _ = _propagate_counted(init, fg, fill, connectivity, is_min,
+                                scan_impl)
     return lab
 
 
+def _propagate_counted(init: jax.Array, fg: jax.Array, fill,
+                       connectivity: int, is_min: bool,
+                       scan_impl: str = None):
+    """Propagate to fixpoint; also return the int32 count of sweeps that
+    changed anything. A second propagation over the SAME mask needs exactly
+    this many sweeps (see `_propagate_n`), letting it skip the fixpoint
+    verify sweep and the per-sweep convergence reductions."""
+    _, rids, big = _scan_setup(fg, scan_impl)
+
+    def body(state):
+        lab, _, k = state
+        new = _sweep(lab, fg, fill, connectivity, is_min, rids, big)
+        ch = jnp.any(new != lab)
+        return new, ch, k + ch.astype(jnp.int32)
+
+    lab, _, k = lax.while_loop(
+        lambda s: s[1], body, (init, jnp.bool_(True), jnp.int32(0)))
+    return lab, k
+
+
+def _propagate_n(init: jax.Array, fg: jax.Array, fill, connectivity: int,
+                 is_min: bool, n: jax.Array, scan_impl: str = None
+                 ) -> jax.Array:
+    """Exactly `n` sweeps, no convergence checks. Sound when `n` is the
+    changing-sweep count of a prior propagation over the same mask: the
+    distinguished value (component-min root index / component-max rank
+    seeded at that same root) wins every comparison it enters, so its
+    spread through the run/scan structure is value-independent — both
+    propagations reach all pixels of a component on the same sweep."""
+    _, rids, big = _scan_setup(fg, scan_impl)
+    return lax.fori_loop(
+        0, n,
+        lambda i, lab: _sweep(lab, fg, fill, connectivity, is_min, rids,
+                              big),
+        init)
+
+
 def _propagate(init: jax.Array, fg: jax.Array, fill, connectivity: int,
-               is_min: bool) -> jax.Array:
+               is_min: bool, scan_impl: str = None) -> jax.Array:
     """Run sweeps to fixpoint on (..., H, W).
 
-    Stays pure-XLA by design: measured 1.9 ms per 8x512x512 batch on v5e —
-    the propagation is NOT the hot part of quantification (the property
-    aggregation was, see ops/pallas_props.py). A VMEM-resident Pallas
-    propagation kernel was built and removed in round 2: bit-identical but
-    350 s+ Mosaic compiles (large-lane rolls) for no measured speedup."""
-    return _propagate_xla(init, fg, fill, connectivity, is_min)
+    Stays pure-XLA by design: the propagation is not the dominant cost of
+    quantification (the property aggregation was, see ops/pallas_props.py).
+    A VMEM-resident Pallas propagation kernel was built and removed in
+    round 2: bit-identical but 350 s+ Mosaic compiles (large-lane rolls)
+    for no measured speedup. The round-3 win was algorithmic instead: the
+    offset-trick cumulative scans (`_seg_scan_cum`)."""
+    return _propagate_xla(init, fg, fill, connectivity, is_min, scan_impl)
 
 
 def _cumsum2d(x: jax.Array) -> jax.Array:
@@ -164,12 +273,13 @@ def label(mask: jax.Array, connectivity: int = 1
     h, w = mask.shape
     fg = mask.astype(bool)
     idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
-    roots = propagate_roots(mask, connectivity)
+    roots, n_sweeps = _propagate_counted(idx, fg, h * w, connectivity,
+                                         is_min=True)
     is_root = fg & (roots == idx)
     rank = _cumsum2d(is_root.astype(jnp.int32))  # at a root: its 1-based label
     rank_img = jnp.where(is_root, rank, 0)
-    labels = _propagate(rank_img, fg, 0, connectivity,
-                        is_min=False)
+    labels = _propagate_n(rank_img, fg, 0, connectivity,
+                          is_min=False, n=n_sweeps)
     labels = jnp.where(fg, labels, 0)
     return labels, is_root.sum().astype(jnp.int32)
 
@@ -184,12 +294,13 @@ def label_batch(masks: jax.Array, connectivity: int = 1
     idx = jnp.broadcast_to(
         jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
     big = h * w
-    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    roots, n_sweeps = _propagate_counted(idx, fg, big, connectivity,
+                                         is_min=True)
     is_root = fg & (roots == idx)
     rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
     rank_img = jnp.where(is_root, rank, 0)
-    labels = _propagate(rank_img, fg, 0, connectivity,
-                        is_min=False)
+    labels = _propagate_n(rank_img, fg, 0, connectivity,
+                          is_min=False, n=n_sweeps)
     return (jnp.where(fg, labels, 0),
             is_root.sum(axis=(1, 2)).astype(jnp.int32))
 
@@ -208,7 +319,8 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
     idx = jnp.broadcast_to(
         jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w), (b, h, w))
     big = n_pix
-    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    roots, n_sweeps = _propagate_counted(idx, fg, big, connectivity,
+                                         is_min=True)
     is_root = fg & (roots == idx)
     rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
 
@@ -235,8 +347,8 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
     overflow = is_root & (rank > max_labels)
     seeds = jax.vmap(keep_seed)(fg, is_root, rank, roots)
     seeds = jnp.where(overflow, 1, seeds)
-    kept = _propagate(jnp.where(fg, seeds, 0), fg, 0,
-                      connectivity, is_min=False)
+    kept = _propagate_n(jnp.where(fg, seeds, 0), fg, 0,
+                        connectivity, is_min=False, n=n_sweeps)
     return fg & (kept > 0)
 
 
@@ -307,7 +419,8 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
     idx = jnp.broadcast_to(
         jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), (b, h, w))
     big = h * w
-    roots = _propagate(idx, fg, big, connectivity, is_min=True)
+    roots, n_sweeps = _propagate_counted(idx, fg, big, connectivity,
+                                         is_min=True)
     if impl is None:
         impl = _props_impl(max_labels)
     if impl in ("pallas", "interp"):
@@ -316,8 +429,8 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
         is_root = fg & (roots == idx)
         n_total = is_root.sum(axis=(1, 2)).astype(jnp.int32)
         rank = jax.vmap(_cumsum2d)(is_root.astype(jnp.int32))
-        labels = _propagate(jnp.where(is_root, rank, 0), fg, 0,
-                            connectivity, is_min=False)
+        labels = _propagate_n(jnp.where(is_root, rank, 0), fg, 0,
+                              connectivity, is_min=False, n=n_sweeps)
         labels = jnp.where(fg, labels, 0)
         tables = component_tables(labels, interpret=(impl == "interp"))
         return jax.vmap(

@@ -10,10 +10,15 @@ all intermediates VMEM-resident:
 
     table[k, f] = sum_p [label(p) == k] * feat(p, f)
 
-with the label split into (hi = k // 64, lo = k % 64) so the one-hot
-factors stay small:  A = concat_f(onehot_hi * feat_f)  (5*65, chunk)
-                     L = onehot_lo                     (64,   chunk)
-    chunk_table = A @ L^T   ->  (5*65, 64) == (f, hi, lo)
+with the label split into (hi = k // 128, lo = k % 128) so the one-hot
+factors stay small:  A = concat_f(onehot_hi * feat_f)  (5*40, chunk)
+                     L = onehot_lo                     (128,  chunk)
+    chunk_table = A @ L^T   ->  (5*40, 128) == (f, hi, lo)
+
+(HI, LO) = (40, 128) rather than the r2 (65, 64): a 128-wide N side fills
+the MXU's native tile (64 ran at half utilization) and the feature
+multiplies shrink from 5*65 to 5*40 rows — measured faster with identical
+exactness; CAP grows to 5120 slots as a side effect.
 
 Exactness (integer results, no rounding):
   - one-hots and feature payloads (each <= 255: count bit, coordinate
@@ -39,9 +44,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HI = 65
-LO = 64
-CAP = HI * LO  # 4160 table slots: labels 0 (background) .. 4159
+HI = 40
+LO = 128
+CAP = HI * LO  # 5120 table slots: labels 0 (background) .. 5119
 NFEAT = 5
 
 
