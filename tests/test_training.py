@@ -339,6 +339,36 @@ def test_chunked_training_matches_per_step(tiny_dataset):
             np.asarray(a), np.asarray(b), atol=5e-3), p1, p2)
 
 
+def test_chunked_eval_mask_saving_matches_per_step(tiny_dataset, tmp_path):
+    """r3: mask-saving val epochs fuse into chunked dispatches (one packed
+    fetch per chunk) instead of falling back per-step. The written PNGs and
+    metrics must be identical to the per-step path."""
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    results = []
+    for chunk in (1, 4):
+        out_dir = tmp_path / f"masks_chunk{chunk}"
+        cfg = TrainConfig(model="unetdc", batch_size=2, img_size=32,
+                          compute_dtype="f32", background_radius=10,
+                          augment=False, step_chunk=chunk, seed=5)
+        t = Trainer(cfg)
+        data = SegmentationData(img_dir, mask_dir, images, masks,
+                                batch_size=2)
+        ev = t.run_epoch_eval(data, save_masks_dir=str(out_dir))
+        files = sorted(p.name for p in out_dir.iterdir())
+        assert len(files) == len(images)
+        results.append((ev, out_dir, files))
+    (ev1, d1, f1), (ev2, d2, f2) = results
+    assert f1 == f2
+    np.testing.assert_allclose(ev1[:3], ev2[:3], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ev1[3]), np.asarray(ev2[3]))
+    for name in f1:
+        assert (d1 / name).read_bytes() == (d2 / name).read_bytes(), name
+
+
 def test_dataset_decode_cache(tiny_dataset):
     """Second epoch serves decoded samples from RAM (no re-decode)."""
     from unetdc_tpu.data.dataset import SegmentationData, discover_pairs

@@ -60,6 +60,18 @@ def batch_sharding(mesh: Mesh, ndim: int, space_dim: Optional[int] = None) -> Na
     return NamedSharding(mesh, P(*spec))
 
 
+def chunk_sharding(mesh: Mesh, ndim: int,
+                   space_dim: Optional[int] = None) -> NamedSharding:
+    """Sharding for scan-chunked batches (K, B, ...): dim 0 is the scan
+    axis (unsharded), dim 1 the batch over 'data', and optionally one
+    spatial dim over 'space'."""
+    spec = [None] * ndim
+    spec[1] = DATA_AXIS
+    if space_dim is not None and mesh.shape[SPACE_AXIS] > 1:
+        spec[space_dim] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -81,7 +81,8 @@ class TrainConfig:
     # per-step path tops out near 50 img/s while the device step itself
     # runs 142 img/s. 1 disables. Only full same-shape chunks are fused;
     # leftovers take the per-step path (identical numerics, same PRNG
-    # stream). Ignored under a mesh (chunk upload sharding not wired).
+    # stream). Under a mesh, chunks fuse whenever batch_size divides the
+    # 'data' axis (r3: chunk inputs are device_put with chunk_sharding).
     step_chunk: int = 8
     # keep raw uint8 samples resident in device HBM (keyed by the dataset
     # decode cache's stable array identities) so epochs 2+ re-upload
@@ -136,7 +137,8 @@ class Trainer:
             self._chunk_train_impl, donate_argnums=(0, 1, 2),
             static_argnames=("background_radius", "do_augment"))
         self._chunk_eval = jax.jit(
-            self._chunk_eval_impl, static_argnames=("background_radius",))
+            self._chunk_eval_impl,
+            static_argnames=("background_radius", "want_masks", "out_hw"))
         self.history: Dict[str, List[float]] = {
             k: [] for k in ("train_loss", "val_loss", "train_dice",
                             "val_dice", "train_acc", "val_acc")}
@@ -147,8 +149,11 @@ class Trainer:
 
     def _stack_batch(self, batch):
         """(imgs, masks) as device arrays, via the device-resident sample
-        bank when possible (no re-upload on later epochs)."""
-        if (self.mesh is None and self.cfg.device_cache_bytes > 0
+        bank when possible (no re-upload on later epochs). Under a mesh the
+        cached copies live on the default device and callers reshard them
+        with device_put — a device->device transfer over ICI, still far
+        cheaper than re-crossing the host link every epoch."""
+        if (self.cfg.device_cache_bytes > 0
                 and "sample_images" in batch):
             def dev(arr):
                 hit = self._devbank.get(id(arr))
@@ -236,21 +241,33 @@ class Trainer:
         return out
 
     def _chunk_eval_impl(self, params, batch_stats, imgs_u8, masks_u8,
-                         valid, background_radius: int):
-        """K eval steps in one dispatch; summed metrics only (no probs —
-        mask saving uses the per-step path)."""
+                         valid, background_radius: int,
+                         want_masks: bool = False, out_hw=None):
+        """K eval steps in one dispatch; summed metrics, plus (when
+        `want_masks`) the thresholded pred masks nearest-resized to
+        `out_hw` and BIT-PACKED per step — so mask-saving val epochs cost
+        one fetch per CHUNK instead of one per batch (r3: mask-saving
+        epochs previously fell back to the per-step path entirely). Same
+        math as the per-step `_resize_pred_masks`, so the written PNGs are
+        bit-identical."""
         def body(carry, xs):
             l, d, c, cnt = carry
             img, msk, v = xs
             x, m = self._preprocess_impl(img, msk, background_radius, True)
-            _, loss, dice, corr, counts = self._eval_step_impl(
+            probs, loss, dice, corr, counts = self._eval_step_impl(
                 params, batch_stats, x, m[..., None], v)
-            return (l + loss, d + dice, c + corr, cnt + counts), ()
+            ys = ()
+            if want_masks:
+                pred = (probs[..., 0] > self.cfg.metric_thresh
+                        ).astype(jnp.uint8)
+                pm = jax.vmap(lambda p: resize_nearest(p, out_hw))(pred)
+                ys = jax.vmap(lambda mm: jnp.packbits(mm.reshape(-1)))(pm)
+            return (l + loss, d + dice, c + corr, cnt + counts), ys
 
         zero = jnp.float32(0)
         init = (zero, zero, zero, jnp.zeros(4, jnp.int32))
-        out, _ = lax.scan(body, init, (imgs_u8, masks_u8, valid))
-        return out
+        out, ys = lax.scan(body, init, (imgs_u8, masks_u8, valid))
+        return (*out, ys if want_masks else None)
 
     def _eval_step_impl(self, params, batch_stats, images, masks, valid):
         logits = self.model.apply(
@@ -299,10 +316,34 @@ class Trainer:
 
     def _chunkable(self, batch) -> bool:
         """Full same-size batches fuse into scan chunks; ragged tails and
-        odd-sized buckets fall back to the per-step path."""
-        return (self.mesh is None and self.cfg.step_chunk > 1
+        odd-sized buckets fall back to the per-step path. Under a mesh the
+        batch must split evenly over the 'data' axis (ragged batches are
+        padded only on the per-step path)."""
+        if not (self.cfg.step_chunk > 1
                 and batch["n_valid"] == self.cfg.batch_size
-                and batch["images"].shape[0] == self.cfg.batch_size)
+                and batch["images"].shape[0] == self.cfg.batch_size):
+            return False
+        if self.mesh is not None:
+            from unetdc_tpu.core.mesh import DATA_AXIS
+
+            return self.cfg.batch_size % self.mesh.shape[DATA_AXIS] == 0
+        return True
+
+    def _shard_chunk(self, imgs, masks, valid):
+        """device_put stacked (K, B, ...) chunk inputs with ('data',
+        optional 'space') shardings so the scanned train/eval steps run
+        SPMD exactly like the per-step path."""
+        if self.mesh is None:
+            return imgs, masks, valid
+        from unetdc_tpu.core.mesh import chunk_sharding
+
+        sd = 2 if self.cfg.shard_space else None
+        imgs = jax.device_put(imgs,
+                              chunk_sharding(self.mesh, imgs.ndim, sd))
+        masks = jax.device_put(masks,
+                               chunk_sharding(self.mesh, masks.ndim, sd))
+        valid = jax.device_put(valid, chunk_sharding(self.mesh, valid.ndim))
+        return imgs, masks, valid
 
     def run_epoch_train(self, data: SegmentationData, epoch: int):
         cfg = self.cfg
@@ -335,6 +376,7 @@ class Trainer:
             imgs = jnp.stack([s[0] for s in stacked])
             masks = jnp.stack([s[1] for s in stacked])
             valid = jnp.ones((len(pend), cfg.batch_size), jnp.float32)
+            imgs, masks, valid = self._shard_chunk(imgs, masks, valid)
             keys = jnp.stack([k for _, k in pend])
             (self.variables["params"], self.variables["batch_stats"],
              self.opt_state, loss, dice, correct) = self._chunk_train(
@@ -396,11 +438,23 @@ class Trainer:
             imgs = jnp.stack([s[0] for s in stacked])
             masks = jnp.stack([s[1] for s in stacked])
             valid = jnp.ones((len(pend), self.cfg.batch_size), jnp.float32)
-            loss, dice, correct, counts = self._chunk_eval(
+            imgs, masks, valid = self._shard_chunk(imgs, masks, valid)
+            want_masks = save_masks_dir is not None
+            # chunk batches share images.shape, hence one orig_size
+            out_hw = tuple(pend[0]["orig_size"]) if want_masks else None
+            loss, dice, correct, counts, mask_bits = self._chunk_eval(
                 self.variables["params"], self.variables["batch_stats"],
-                imgs, masks, valid, self.cfg.background_radius)
+                imgs, masks, valid, self.cfg.background_radius,
+                want_masks, out_hw)
             dev_metrics.append((loss, dice, correct))
             dev_counts.append(counts)
+            if want_masks:
+                bits = np.asarray(mask_bits)  # ONE fetch per chunk
+                oh, ow = out_hw
+                for i, b in enumerate(pend):
+                    m = np.unpackbits(bits[i], axis=-1)[:, :oh * ow]
+                    self._write_mask_pngs(
+                        m.reshape(-1, oh, ow) * 255, b, save_masks_dir)
 
         def step_one(batch):
             x, m, valid = self._device_batch(batch)
@@ -415,7 +469,7 @@ class Trainer:
         for batch in Prefetcher(data.batches()):
             tot_px += batch["n_valid"] * px
             n_batches += 1
-            if save_masks_dir is not None or not self._chunkable(batch):
+            if not self._chunkable(batch):
                 while pend:
                     shape = pend[0]["images"].shape
                     same = [b for b in pend if b["images"].shape == shape]
@@ -448,18 +502,22 @@ class Trainer:
         the inference scripts' dst-slot bug), save {base}_pred.png. (The
         reference only saves its last batch due to an indentation bug; we
         save every batch.)"""
-        from PIL import Image
-
-        os.makedirs(out_dir, exist_ok=True)
         oh, ow = batch["orig_size"]
         # threshold + nearest-resize the whole batch on device and fetch the
         # uint8 masks in ONE transfer (fetching f32 probs then resizing
         # per image costs several relay round trips per image)
         masks = np.asarray(self._resize_pred_masks(probs, (oh, ow)))
+        self._write_mask_pngs(masks, batch, out_dir)
+
+    @staticmethod
+    def _write_mask_pngs(masks, batch, out_dir: str):
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
         for j in range(batch["n_valid"]):
             base = os.path.splitext(batch["filenames"][j])[0]
             out_path = os.path.join(out_dir, f"{base}_pred.png")
-            Image.fromarray(masks[j]).save(out_path)
+            Image.fromarray(masks[j].astype(np.uint8)).save(out_path)
             print(f"Saved predicted mask: {out_path}")
 
     @functools.partial(jax.jit, static_argnames=("self", "out_hw"))
