@@ -24,22 +24,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unetdc_tpu.ops.filters import gaussian_filter_scipy
+from unetdc_tpu.ops.filters import (gaussian_derivative_scipy,
+                                    gaussian_filter_scipy)
 
 
 @functools.partial(jax.jit, static_argnames=("sigmas",))
 def _log_cube(image: jax.Array, sigmas: tuple) -> jax.Array:
-    """-sigma^2 * Laplacian-of-Gaussian response per scale (skimage
-    blob_log convention)."""
+    """-sigma^2 * Laplacian-of-Gaussian response per scale: the TRUE
+    scipy.ndimage.gaussian_laplace math (separable order-2 Gaussian
+    derivative along each axis, summed), the scale-normalized response of
+    the published LoG detector and of skimage blob_log. (r2 shipped a
+    5-point finite-difference Laplacian of the smoothed image; r3 replaced
+    it with the exact operator and pinned it against a scipy oracle,
+    tests/test_blobs_oracle.py.)"""
     img = image.astype(jnp.float32)
     layers = []
     for s in sigmas:
-        g = gaussian_filter_scipy(img, s)
-        # 5-point laplacian (matches scipy gaussian_laplace's separable sum
-        # of second derivatives computed via gaussian_filter order=2; we use
-        # the difference approximation on the smoothed image)
-        lap = (jnp.roll(g, 1, 0) + jnp.roll(g, -1, 0) + jnp.roll(g, 1, 1)
-               + jnp.roll(g, -1, 1) - 4 * g)
+        lap = (gaussian_derivative_scipy(img, s, 2, 0)
+               + gaussian_derivative_scipy(img, s, 0, 2))
         layers.append(-lap * s ** 2)
     return jnp.stack(layers)
 
@@ -56,18 +58,19 @@ def _dog_cube(image: jax.Array, sigmas: tuple) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("sigmas",))
 def _doh_cube(image: jax.Array, sigmas: tuple) -> jax.Array:
-    """Determinant of Hessian of the Gaussian-smoothed image, normalized by
-    sigma^4."""
+    """sigma^4-normalized determinant of the TRUE Gaussian Hessian
+    (separable order-(2,0)/(0,2)/(1,1) derivative filters), the published
+    DoH response. skimage's blob_doh uses an integral-image box-filter
+    APPROXIMATION of this operator (SURF-style); we implement the exact
+    definition and pin it against a scipy brute-force oracle
+    (tests/test_blobs_oracle.py) — documented divergence-by-design from
+    skimage's approximation, same detections on well-separated blobs."""
     img = image.astype(jnp.float32)
     layers = []
     for s in sigmas:
-        g = gaussian_filter_scipy(img, s)
-        dyy = jnp.roll(g, 1, 0) + jnp.roll(g, -1, 0) - 2 * g
-        dxx = jnp.roll(g, 1, 1) + jnp.roll(g, -1, 1) - 2 * g
-        dxy = (jnp.roll(jnp.roll(g, 1, 0), 1, 1)
-               + jnp.roll(jnp.roll(g, -1, 0), -1, 1)
-               - jnp.roll(jnp.roll(g, 1, 0), -1, 1)
-               - jnp.roll(jnp.roll(g, -1, 0), 1, 1)) / 4.0
+        dyy = gaussian_derivative_scipy(img, s, 2, 0)
+        dxx = gaussian_derivative_scipy(img, s, 0, 2)
+        dxy = gaussian_derivative_scipy(img, s, 1, 1)
         layers.append((dxx * dyy - dxy ** 2) * s ** 4)
     return jnp.stack(layers)
 

@@ -25,13 +25,32 @@ def cv2_gaussian_kernel(ksize: int, sigma: float = 0.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def scipy_gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
-    """scipy.ndimage.gaussian_filter 1D kernel: radius = int(truncate*sigma +
-    0.5), Gaussian (order 0) normalized."""
+def scipy_gaussian_kernel(sigma: float, truncate: float = 4.0,
+                          order: int = 0) -> np.ndarray:
+    """scipy.ndimage's exact `_gaussian_kernel1d(sigma, order, radius)` with
+    radius = int(truncate*sigma + 0.5), already REVERSED for use as a
+    convolution tap list (scipy correlates with the reversed kernel, i.e.
+    convolves with the unreversed one; for even orders this is a no-op).
+    order 0 = normalized Gaussian; order n = n-th Gaussian derivative via
+    the Hermite-recurrence polynomial q(x)*phi(x)."""
     radius = int(truncate * float(sigma) + 0.5)
+    sigma2 = float(sigma) ** 2
     x = np.arange(-radius, radius + 1, dtype=np.float64)
-    k = np.exp(-0.5 * (x / sigma) ** 2)
-    return (k / k.sum()).astype(np.float32)
+    phi = np.exp(-0.5 / sigma2 * x ** 2)
+    phi = phi / phi.sum()
+    if order > 0:
+        expo = np.arange(order + 1)
+        q = np.zeros(order + 1)
+        q[0] = 1
+        D = np.diag(expo[1:].astype(np.float64), 1)   # q -> q'
+        P = np.diag(np.ones(order) / -sigma2, -1)     # q -> q * p'
+        for _ in range(order):
+            q = (D + P).dot(q)
+        phi = (x[:, None] ** expo).dot(q) * phi
+    # scipy convolves with the unreversed derivative kernel (it reverses
+    # before correlate1d); our _separable implements correlation-style
+    # indexing, so hand it the reversed taps to match.
+    return phi[::-1].astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "sigma"))
@@ -50,6 +69,20 @@ def gaussian_filter_scipy(img: jax.Array, sigma: float, truncate: float = 4.0
     'reflect')."""
     k = scipy_gaussian_kernel(sigma, truncate)
     return _separable(img, k, k, reflect101=False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "order_y", "order_x", "truncate"))
+def gaussian_derivative_scipy(img: jax.Array, sigma: float, order_y: int,
+                              order_x: int, truncate: float = 4.0
+                              ) -> jax.Array:
+    """scipy.ndimage.gaussian_filter(img, sigma, order=(order_y, order_x),
+    mode='reflect') on a 2D image — separable true Gaussian-derivative
+    filtering, the building block of gaussian_laplace (orders (2,0)+(0,2))
+    and the Hessian determinant (adds the (1,1) cross term)."""
+    ky = scipy_gaussian_kernel(sigma, truncate, order_y)
+    kx = scipy_gaussian_kernel(sigma, truncate, order_x)
+    return _separable(img, ky, kx, reflect101=False)
 
 
 def _separable(img: jax.Array, ky: np.ndarray, kx: np.ndarray,
