@@ -86,10 +86,14 @@ def segmentation_two_thresholds(image, thresh1, thresh2) -> np.ndarray:
 
 
 def labeling_custom(binary_image, dots) -> List[int]:
-    """algorithms.py:167-178: 8-connectivity labels sampled at dots."""
+    """algorithms.py:167-178: 8-connectivity labels sampled at dots
+    (vectorized gather; one indexing op instead of a per-dot loop)."""
     lab, _ = _label(jnp.asarray(binary_image), connectivity=2)
     lab = np.asarray(lab)
-    return [int(lab[d[0]][d[1]]) for d in dots]
+    if not len(dots):
+        return []
+    d = np.asarray(dots, np.intp)
+    return [int(v) for v in lab[d[:, 0], d[:, 1]]]
 
 
 def binary_to_dots(binary_image) -> List[List[int]]:
@@ -106,20 +110,42 @@ def dots_to_binary(mask_thresh, dots) -> np.ndarray:
     return mask
 
 
+def _group_indices(labels):
+    """One-pass label -> [indices in increasing order] map: replaces the
+    reference's O(labels x dots) per-label rescans with O(n) grouping while
+    keeping every per-label visit order identical."""
+    groups = {}
+    for i, lab in enumerate(labels):
+        groups.setdefault(lab, []).append(i)
+    return groups
+
+
 def sieve_labels(dots, labels, sieve_size):
     """algorithms.py:188-207: drop labels with <= sieve_size pixels,
-    renumber from 1 (iteration order follows python set semantics like the
-    reference)."""
+    renumber from 1. Iteration still follows `set(labels)` order (the
+    reference's python-set quirk), but the per-label coordinate gather is
+    a precomputed group-by — O(n + k) instead of O(n*k)
+    (behavior-identity pinned by tests/test_library_vectorized.py)."""
     sieved_dots, sieved_labels = [], []
-    unique_labels = set(labels)
+    groups = _group_indices(labels)
     latest = 1
-    for lab in unique_labels:
-        coords = [dots[i] for i in range(len(labels)) if labels[i] == lab]
-        if len(coords) > sieve_size:
-            sieved_dots.extend(coords)
-            sieved_labels.extend([latest] * len(coords))
+    for lab in set(labels):
+        idx = groups[lab]
+        if len(idx) > sieve_size:
+            sieved_dots.extend(dots[i] for i in idx)
+            sieved_labels.extend([latest] * len(idx))
             latest += 1
     return sieved_dots, sieved_labels
+
+
+def _sizes_dropping_last(labels):
+    """`[labels.count(i) for i in range(1, max(labels))]` — the reference's
+    per-label size list INCLUDING its silently-dropped-last-label quirk
+    (algorithms.py:216-218) — via one bincount pass instead of an O(n*k)
+    count loop. Labels are 1..max ints by the labeling contract."""
+    nb = int(max(labels))
+    counts = np.bincount(np.asarray(labels, np.int64), minlength=nb + 1)
+    return [int(c) for c in counts[1:nb]]
 
 
 def mean_SD_size(labels):
@@ -127,8 +153,7 @@ def mean_SD_size(labels):
     1..max-1, silently dropping the last label — reproduced)."""
     if len(labels) == 0:
         return 0, 0
-    nb = max(labels)
-    sizes = [labels.count(i) for i in range(1, nb)]
+    sizes = _sizes_dropping_last(labels)
     return round(np.mean(sizes), 2), round(np.std(sizes), 2)
 
 
@@ -136,8 +161,7 @@ def mean_median_size(labels):
     """algorithms.py:220-228 (same last-label quirk)."""
     if len(labels) == 0:
         return 0, 0
-    nb = max(labels)
-    sizes = [labels.count(i) for i in range(1, nb)]
+    sizes = _sizes_dropping_last(labels)
     return round(np.mean(sizes), 2), round(np.median(sizes), 2)
 
 
@@ -145,8 +169,7 @@ def mean_median_min_max_size(labels):
     """algorithms.py:230-238 (same last-label quirk)."""
     if len(labels) == 0:
         return 0, 0, 0, 0, 0
-    nb = max(labels)
-    sizes = [labels.count(i) for i in range(1, nb)]
+    sizes = _sizes_dropping_last(labels)
     return (round(np.mean(sizes), 2), round(np.median(sizes), 2),
             round(np.min(sizes), 2), round(np.max(sizes), 2), sizes)
 
@@ -255,52 +278,59 @@ def is_float(string) -> bool:
         return False
 
 
+def _group_means_sizes(dots, labels):
+    """Per-label (mean_y, mean_x, size) in np.unique(labels) order — the
+    shared group-by behind the calculate_centroids* family. One stable
+    argsort replaces the reference's per-label O(n) rescans; within each
+    group the coordinates keep their original increasing-index order, so
+    each group's np.mean sees the exact element sequence the loop version
+    built (bit-identical results, pinned by
+    tests/test_library_vectorized.py)."""
+    coords = np.asarray(dots, np.float64).reshape(len(labels), 2)
+    order = np.argsort(np.asarray(labels), kind="stable")
+    sorted_coords = coords[order]
+    _, starts = np.unique(np.asarray(labels)[order], return_index=True)
+    bounds = list(starts) + [len(labels)]
+    means, sizes = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        means.append(sorted_coords[a:b].mean(axis=0))
+        sizes.append(b - a)
+    return means, sizes
+
+
 def calculate_centroids_sizes(dots, labels) -> np.ndarray:
     """algorithms.py:545-559."""
-    unique_labels = np.unique(labels)
-    out = []
-    for lab in unique_labels:
-        coords = np.asarray([dots[i] for i in range(len(labels))
-                             if labels[i] == lab], np.float64)
-        c = coords.mean(axis=0)
-        out.append([c[0], c[1], len(coords)])
-    return np.array(out)
+    if len(labels) == 0:
+        return np.array([])
+    means, sizes = _group_means_sizes(dots, labels)
+    return np.array([[c[0], c[1], n] for c, n in zip(means, sizes)])
 
 
 def calculate_centroids_sizes_image(dots, labels, image) -> np.ndarray:
     """algorithms.py:561-576."""
     out = np.zeros(np.asarray(image).shape, np.uint16)
-    for lab in np.unique(labels):
-        coords = np.asarray([dots[i] for i in range(len(labels))
-                             if labels[i] == lab], np.float64)
-        c = coords.mean(axis=0)
-        out[int(c[0] + 0.5), int(c[1] + 0.5)] = len(coords)
+    if len(labels) == 0:
+        return out
+    means, sizes = _group_means_sizes(dots, labels)
+    for c, n in zip(means, sizes):
+        out[int(c[0] + 0.5), int(c[1] + 0.5)] = n
     return out
 
 
 def calculate_centroids(dots, labels) -> np.ndarray:
     """algorithms.py:578-591."""
-    unique_labels = np.unique(labels)
-    cents = []
-    for lab in unique_labels:
-        coords = np.asarray([dots[i] for i in range(len(labels))
-                             if labels[i] == lab], np.float64)
-        c = coords.mean(axis=0)
-        cents.append([c[0], c[1]])
-    return np.array(cents)
+    if len(labels) == 0:
+        return np.array([])
+    means, _ = _group_means_sizes(dots, labels)
+    return np.array([[c[0], c[1]] for c in means])
 
 
 def calculate_blobs_centroids_and_DTOC(dots, labels, centroid_x, centroid_y):
     """algorithms.py:593-612."""
     if labels == []:
         return [], []
-    unique_labels = np.unique(labels)
-    cents = []
-    for lab in unique_labels:
-        coords = np.asarray([dots[i] for i in range(len(labels))
-                             if labels[i] == lab], np.float64)
-        cents.append(coords.mean(axis=0))
-    cents = np.array(cents)
+    means, _ = _group_means_sizes(dots, labels)
+    cents = np.array(means)
     dtoc = np.sqrt((cents[:, 0] - centroid_y) ** 2
                    + (cents[:, 1] - centroid_x) ** 2)
     return np.array(cents), dtoc.tolist()
