@@ -23,6 +23,10 @@ def build_parser():
                    help="network input size (reference: 512)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--summary", action="store_true",
+                   help="print a torchsummary-style model table "
+                        "(the reference leaves its summary() call "
+                        "commented out, train_DC_focal.py:212)")
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--step_chunk", type=int, default=8,
                    help="train/eval steps fused per device dispatch (lax.scan); 1 disables")
@@ -62,6 +66,11 @@ def main(argv=None):
         resume=args.resume, history_jsonl=args.history_jsonl,
         remat=args.remat, step_chunk=args.step_chunk)
     trainer = Trainer(cfg, mesh=mesh)
+    if args.summary:
+        from unetdc_tpu.utils.summary import model_summary
+
+        print(model_summary(trainer.model, trainer.variables,
+                            (1, args.img_size, args.img_size, 3)))
     mk = lambda il, ml, sh: SegmentationData(
         args.image_dir, args.mask_dir, il, ml, batch_size=args.batch,
         shuffle=sh, seed=args.seed)

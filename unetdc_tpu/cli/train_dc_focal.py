@@ -35,6 +35,10 @@ def build_parser():
                    help="network input size (reference: 512)")
     p.add_argument("--precision", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--summary", action="store_true",
+                   help="print a torchsummary-style model table "
+                        "(the reference leaves its summary() call "
+                        "commented out, train_DC_focal.py:212)")
     p.add_argument("--plateau_scheduler", action="store_true",
                    help="actually step ReduceLROnPlateau (the reference "
                         "configures but never calls it)")
@@ -93,6 +97,11 @@ def main(argv=None):
         remat=args.remat, shard_space=args.shard_space > 1,
         step_chunk=args.step_chunk)
     trainer = Trainer(cfg, mesh=mesh)
+    if args.summary:
+        from unetdc_tpu.utils.summary import model_summary
+
+        print(model_summary(trainer.model, trainer.variables,
+                            (1, args.img_size, args.img_size, 3)))
 
     mk = lambda il, ml, sh: SegmentationData(
         args.image_dir, args.mask_dir, il, ml, batch_size=args.batch,
