@@ -22,6 +22,11 @@ if "collective_call_terminate_timeout" not in flags:
               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests (GUI worker -> CLI, dryrun helpers) cannot
+# rely on JAX_PLATFORMS: this image's sitecustomize rewrites it to the TPU
+# relay at every interpreter start. The CLIs honor this override instead
+# (utils/platform.py), applied via jax.config after import.
+os.environ.setdefault("UNETDC_TPU_PLATFORM", "cpu")
 
 import jax  # noqa: E402
 

@@ -68,6 +68,9 @@ def build_parser():
 def main(argv=None):
     from unetdc_tpu.utils.compile_cache import maybe_enable_compilation_cache
 
+    from unetdc_tpu.utils.platform import apply_platform_override
+
+    apply_platform_override()  # $UNETDC_TPU_PLATFORM opt-in
     maybe_enable_compilation_cache()  # $UNETDC_TPU_COMPILE_CACHE opt-in
     args = build_parser().parse_args(argv)
 
