@@ -56,3 +56,26 @@ def test_fallback_for_unknown_suffix(rng, tmp_path):
     p = tmp_path / "t.tiff"
     Image.fromarray(img).save(p)
     np.testing.assert_array_equal(decode_rgb(p), img)
+
+
+def test_png_16bit_decode_matches_cv2_high_byte(rng, tmp_path):
+    """The reference decodes via cv2.imread, which reduces 16-bit PNGs by
+    keeping the HIGH byte; the native path (png_set_strip_16) and the PIL
+    fallback (explicit >>8 — PIL's own I->RGB convert clips to white) must
+    both reproduce that."""
+    import cv2
+    from unetdc_tpu.io.native import _pil_decode
+
+    a16 = (rng.rand(24, 31) * 65535).astype(np.uint16)
+    p = tmp_path / "a16.png"
+    Image.fromarray(a16).save(p)
+    want = cv2.imread(str(p))[..., ::-1]  # cv2 default: 8-bit BGR
+    assert np.array_equal(decode_rgb(p), want)
+    assert np.array_equal(_pil_decode(str(p)), want)
+
+
+def test_png_rgba_decode_strips_alpha(rng, tmp_path):
+    rgba = (rng.rand(24, 31, 4) * 255).astype(np.uint8)
+    p = tmp_path / "rgba.png"
+    Image.fromarray(rgba).save(p)
+    assert np.array_equal(decode_rgb(p), rgba[..., :3])

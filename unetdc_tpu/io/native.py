@@ -69,7 +69,14 @@ def native_available() -> bool:
 def _pil_decode(path: str) -> np.ndarray:
     from PIL import Image
 
-    return np.array(Image.open(path).convert("RGB"))
+    im = Image.open(path)
+    if im.mode in ("I;16", "I;16B", "I;16L", "I"):
+        # PIL's I->RGB convert CLIPS >255 to white; the reference decodes
+        # 16-bit images through cv2.imread, which keeps the high byte
+        # (so does the native libpng path via png_set_strip_16) — match.
+        a = np.asarray(im, dtype=np.uint32)
+        im = Image.fromarray((a >> 8).astype(np.uint8))
+    return np.array(im.convert("RGB"))
 
 
 def decode_rgb(path) -> np.ndarray:
