@@ -193,7 +193,10 @@ class QuantifyEngine:
         """Asynchronously enqueue one megastep; returns device arrays.
         JAX dispatch is async, so callers can enqueue batch k+1 before
         fetching batch k — overlapping device compute with host IO."""
-        x = jnp.asarray(imgs_u8)
+        from unetdc_tpu.utils.profiling import stage_timer
+
+        with stage_timer("h2d_upload"):
+            x = jnp.asarray(imgs_u8)
         if self.mesh is not None:
             space_dim = 1 if self.shard_space else None
             x = jax.device_put(

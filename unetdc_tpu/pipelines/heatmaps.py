@@ -238,7 +238,9 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)
-            df.to_csv(self.out_dir / f"{name}_droplets.csv", index=False)
+            from unetdc_tpu.io.fastcsv import write_csv
+
+            write_csv(self.out_dir / f"{name}_droplets.csv", df)
             if self.overlay_dir is not None:
                 import cv2
 

@@ -113,6 +113,20 @@ class BatchQuantifyPipeline:
     # optimal on this host link (deeper queues degrade)
     _MAX_INFLIGHT = 2
 
+    @property
+    def _dispatcher(self):
+        """Single dispatch thread: `jnp.asarray` blocks ~[25 MB/s .. 300
+        MB/s]×6 MB per batch on the relay but releases the GIL for most of
+        the wire time (measured: a busy Python thread keeps ~44% of its
+        baseline rate during an upload on this 1-vCPU host), so uploading
+        from a thread overlaps the link with decode/CSV/PNG host work. One
+        worker keeps device dispatch order deterministic."""
+        if getattr(self, "_dispatch_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._dispatch_pool = ThreadPoolExecutor(max_workers=1)
+        return self._dispatch_pool
+
     # --------------------------------------------------------------
     def _flush(self, imgs: List[np.ndarray], paths: List[Path],
                size_hw: Tuple[int, int]):
@@ -132,20 +146,24 @@ class BatchQuantifyPipeline:
             self._drain(one=True)
         if not hasattr(self, "_inflight"):
             self._inflight = []
-        self._inflight.append((
-            self.engine.dispatch_batch(
-                np.stack(imgs), size_hw, self.prob_thresh, self.min_area,
-                self.background_radius),
-            list(paths), n_valid, size_hw, rgbs))
+        batch_imgs = list(imgs)
+
+        def _dispatch():
+            return self.engine.dispatch_batch(
+                np.stack(batch_imgs), size_hw, self.prob_thresh,
+                self.min_area, self.background_radius)
+
+        self._inflight.append((self._dispatcher.submit(_dispatch),
+                               list(paths), n_valid, size_hw, rgbs))
 
     def _drain(self, one: bool = False):
         from unetdc_tpu.utils.profiling import stage_timer
 
         inflight = getattr(self, "_inflight", [])
         while inflight:
-            out, paths, n_valid, size_hw, rgbs = inflight.pop(0)
+            fut, paths, n_valid, size_hw, rgbs = inflight.pop(0)
             with stage_timer("device_fetch"):
-                host = self.engine.fetch_batch(out, size_hw)
+                host = self.engine.fetch_batch(fut.result(), size_hw)
             with stage_timer("host_write_artifacts"):
                 self._write_batch_outputs(host, paths, n_valid, rgbs)
             if one:
@@ -176,6 +194,7 @@ class BatchQuantifyPipeline:
 
     def _write_batch_outputs(self, out, paths, n_valid, rgbs=None):
         from unetdc_tpu.io.native import encode_png_gray
+        from unetdc_tpu.utils.profiling import stage_timer
 
         for i in range(n_valid):
             fpath = paths[i]
@@ -186,10 +205,15 @@ class BatchQuantifyPipeline:
             props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
                                   "sum-0-hi", "sum-1-lo",
                                   "sum-1-hi") if k in out}
-            df = props_to_dataframe(props_i, out["count"][i],
-                                    self.px_per_micron)
-            df.insert(0, "filename", fpath.name)
-            df.to_csv(self.out_dir / f"{name}_droplets.csv", index=False)
+            with stage_timer("host_csv"):
+                from unetdc_tpu.io.fastcsv import write_csv
+
+                df = props_to_dataframe(props_i, out["count"][i],
+                                        self.px_per_micron)
+                df.insert(0, "filename", fpath.name)
+                # bytes-identical to df.to_csv (tests/test_fastcsv.py), ~5x
+                # faster on the 1-vCPU host — this is per-image hot path
+                write_csv(self.out_dir / f"{name}_droplets.csv", df)
             self.all_props.append(df)
             self.per_image_rows.append({
                 "filename": fpath.name,
@@ -250,6 +274,9 @@ class BatchQuantifyPipeline:
             self._flush(pend_imgs, pend_paths, pend_size)
         self._drain()
         self.finish_writes()
+        if getattr(self, "_dispatch_pool", None) is not None:
+            self._dispatch_pool.shutdown(wait=True)
+            self._dispatch_pool = None
         return self
 
     # --------------------------------------------------------------
@@ -257,13 +284,15 @@ class BatchQuantifyPipeline:
                       skip_histogram: bool = False):
         """Master CSV/Excel + size stats + histogram
         (quantify_droplets_batch.py:162-199)."""
+        from unetdc_tpu.io.fastcsv import write_csv
+
         out_dir = self.out_dir
         summary_df = pd.DataFrame(self.per_image_rows)
-        summary_df.to_csv(out_dir / "summary_per_image.csv", index=False)
+        write_csv(out_dir / "summary_per_image.csv", summary_df)
         if not self.all_props:
             return
         combined = pd.concat(self.all_props, ignore_index=True)
-        combined.to_csv(out_dir / "all_droplets.csv", index=False)
+        write_csv(out_dir / "all_droplets.csv", combined)
 
         if not skip_excel:
             try:
@@ -274,8 +303,7 @@ class BatchQuantifyPipeline:
                     summary_df.to_excel(xw, index=False,
                                         sheet_name="per_image")
             except (ImportError, AttributeError):
-                combined.to_csv(out_dir / "all_droplets_noexcel.csv",
-                                index=False)
+                write_csv(out_dir / "all_droplets_noexcel.csv", combined)
                 print("⚠️  Skipped Excel file; install 'xlsxwriter<3.1.0' or "
                       "use Python ≥3.7 if you need .xlsx output.")
 
