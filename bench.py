@@ -211,10 +211,13 @@ def main():
     # per-stage megastep breakdown (ms/batch) so round-over-round perf
     # claims are attributable to stages, not relay luck (VERDICT r2 item 8)
     from unetdc_tpu.utils.device_profile import profile_stages
-    prof = profile_stages(BATCH, SIZE, verbose=False)
+    try:  # int8 forward timing is additive info — never sink the bench
+        prof = profile_stages(BATCH, SIZE, verbose=False, int8=True)
+    except Exception:
+        prof = profile_stages(BATCH, SIZE, verbose=False)
     stage_ms = {k: round(v * 1e3, 3) for k, v in prof.items()
                 if k not in ("img_per_s_device", "forward_mfu",
-                             "forward_flops")}
+                             "forward_flops", "img_per_s_device_int8")}
 
     with open("BASELINE_MEASURED.json") as f:
         base = json.load(f)["reference_e2e_512_img_per_s"]
@@ -235,6 +238,11 @@ def main():
             "train_mfu": round(train_mfu, 4),
             "megastep_stage_ms_per_batch8": stage_ms,
             "forward_mfu": round(prof.get("forward_mfu", 0.0), 4),
+            # opt-in quantized path (--int8 / quantize="int8"): megastep
+            # throughput with the int8 forward substituted (models/unet_int8)
+            "int8_device_only_img_per_s": round(
+                prof["img_per_s_device_int8"], 3)
+            if "img_per_s_device_int8" in prof else None,
             "baseline_img_per_s": base,
         },
     }))

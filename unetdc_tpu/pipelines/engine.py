@@ -52,18 +52,31 @@ class QuantifyEngine:
 
     def __init__(self, variables, model_cls=UNetDC, img_size: int = 512,
                  compute_dtype: Any = jnp.bfloat16, max_labels: int = 4096,
-                 mesh=None, shard_space: bool = False):
+                 mesh=None, shard_space: bool = False,
+                 quantize: str | None = None):
         """`shard_space` additionally splits the image height over the
         mesh's 'space' axis (XLA inserts conv halo exchanges and scan
         collectives automatically) — the scaling axis for images larger
-        than one chip's HBM/compute (SURVEY §5 spatial axis)."""
+        than one chip's HBM/compute (SURVEY §5 spatial axis).
+
+        `quantize="int8"` selects the post-training-quantized forward
+        (models/unet_int8.py; MXU double-rate int8 path): activation scales
+        are calibrated on the FIRST batch this engine sees, then every
+        batch runs the int8 megastep. Not bit-parity — an opt-in speed
+        mode; see the module docstring for the guarantees."""
         self.shard_space = shard_space
-        folded = fold_batchnorm(variables)
         self.model = model_cls(use_bn=False, dtype=compute_dtype)
         self.img_size = img_size
         self.max_labels = max_labels
         self.mesh = mesh
         self._dilations = tuple(self.model.dilations)
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        if quantize == "int8" and (self._dilations[0] != 1 or img_size % 2):
+            raise ValueError("int8 path requires undilated enc1 (pair "
+                             "layout) and an even img_size")
+        self.quantize = quantize
+        folded = fold_batchnorm(variables)
         # TPU fast forward: pair-packed 64-channel stages + conv_transpose
         # upconvs (models/unet_fast.py) — same MACs grouped differently,
         # ~16% faster forward on v5e. Auto-enabled for bf16 only: f32 is
@@ -76,15 +89,22 @@ class QuantifyEngine:
             want = env == "1"
         else:
             want = jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
-        self._use_fast = (want and self._dilations[0] == 1
-                          and img_size % 2 == 0)
-        if self._use_fast:
+        self._use_fast = (quantize is None and want
+                          and self._dilations[0] == 1 and img_size % 2 == 0)
+        if quantize == "int8":
+            # params materialize lazily at first dispatch (calibration
+            # needs a representative batch); keep the folded f32 weights
+            # host-side for the calibration forward + quantizer.
+            self._folded_np = jax.tree_util.tree_map(
+                np.asarray, folded["params"])
+            self.params = None
+        elif self._use_fast:
             from unetdc_tpu.models.unet_fast import build_fast_params
             self.params = build_fast_params(folded["params"],
                                             dtype=compute_dtype)
         else:
             self.params = folded
-        if mesh is not None:
+        if mesh is not None and self.params is not None:
             from unetdc_tpu.core.mesh import replicate
             self.params = replicate(mesh, self.params)
         # params are traced arguments (NOT closed-over constants) so the
@@ -97,17 +117,16 @@ class QuantifyEngine:
 
     def _apply_model(self, params, x):
         """Jittable forward: probabilities (B, S, S, 1) float32."""
+        if self.quantize == "int8":
+            from unetdc_tpu.models.unet_int8 import forward_int8
+            return forward_int8(params, x, self._dilations)
         if self._use_fast:
             from unetdc_tpu.models.unet_fast import forward_folded
             return forward_folded(params, x, self._dilations)
         return self.model.apply(params, x, train=False)
 
-    # ------------------------------------------------------------------
-    def _megastep_impl(self, params, imgs_u8: jax.Array, thresh: jax.Array,
-                       min_area: jax.Array, out_hw: Tuple[int, int],
-                       background_radius: int, apply_bg: bool
-                       ) -> Dict[str, jax.Array]:
-        """(B, H, W, 3) uint8 -> masks + per-droplet property tables."""
+    def _preprocess(self, imgs_u8, background_radius: int, apply_bg: bool):
+        """Jittable (B,H,W,3) uint8 -> (B,S,S,3) f32 in [0,1]."""
         size = self.img_size
 
         def preprocess(img):
@@ -120,7 +139,41 @@ class QuantifyEngine:
                 in_axes=-1, out_axes=-1)(img)
             return x.astype(jnp.float32) / 255.0
 
-        x = jax.vmap(preprocess)(imgs_u8).astype(jnp.float32)
+        return jax.vmap(preprocess)(imgs_u8).astype(jnp.float32)
+
+    def _calibrate_int8(self, arr, *, preprocessed: bool = False,
+                        background_radius: int = 50, apply_bg: bool = True):
+        """Build the int8 params from ONE representative batch (runs once).
+
+        Runs the exact f32 fast forward (`unet_int8.forward_calib`) over the
+        batch, fetches the 23 activation maxima as one vector, quantizes on
+        the host (`build_int8_params`), and uploads the int8 pytree. The
+        calibration program compiles separately from the megastep; both hit
+        the persistent compile cache on later runs."""
+        from unetdc_tpu.models.unet_fast import build_fast_params
+        from unetdc_tpu.models import unet_int8 as qi
+
+        fp32 = build_fast_params(self._folded_np, dtype=jnp.float32)
+
+        def calib(fp, a):
+            x = a if preprocessed else self._preprocess(
+                a, background_radius, apply_bg)
+            return qi.forward_calib(fp, x, self._dilations)[1]
+
+        maxima = np.asarray(jax.jit(calib)(fp32, arr))
+        qp = qi.build_int8_params(self._folded_np, maxima, self._dilations)
+        self.params = jax.tree_util.tree_map(jnp.asarray, qp)
+        if self.mesh is not None:
+            from unetdc_tpu.core.mesh import replicate
+            self.params = replicate(self.mesh, self.params)
+
+    # ------------------------------------------------------------------
+    def _megastep_impl(self, params, imgs_u8: jax.Array, thresh: jax.Array,
+                       min_area: jax.Array, out_hw: Tuple[int, int],
+                       background_radius: int, apply_bg: bool
+                       ) -> Dict[str, jax.Array]:
+        """(B, H, W, 3) uint8 -> masks + per-droplet property tables."""
+        x = self._preprocess(imgs_u8, background_radius, apply_bg)
         probs = self._apply_model(params, x)  # (B,S,S,1)
         mask512 = (probs[..., 0] > thresh).astype(jnp.uint8)
 
@@ -201,6 +254,9 @@ class QuantifyEngine:
             space_dim = 1 if self.shard_space else None
             x = jax.device_put(
                 x, batch_sharding(self.mesh, x.ndim, space_dim=space_dim))
+        if self.quantize == "int8" and self.params is None:
+            self._calibrate_int8(x, background_radius=int(background_radius),
+                                 apply_bg=bool(apply_bg))
         packed = self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
@@ -255,13 +311,17 @@ class QuantifyEngine:
     def forward_probs(self, x_f32: jax.Array) -> jax.Array:
         """Plain jitted forward on preprocessed (B, S, S, 3) in [0,1] —
         used by benchmarks and the library API."""
+        if self.quantize == "int8" and self.params is None:
+            self._calibrate_int8(x_f32, preprocessed=True)
         return self._forward(self.params, x_f32)
 
 
 def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
-                model_cls=UNetDC, max_labels: int = 4096) -> QuantifyEngine:
+                model_cls=UNetDC, max_labels: int = 4096,
+                quantize: str | None = None) -> QuantifyEngine:
     """Build an engine from a reference .pth or native msgpack checkpoint.
-    `fast` selects the bf16 dtype policy (core.dtypes.default_policy)."""
+    `fast` selects the bf16 dtype policy (core.dtypes.default_policy);
+    `quantize="int8"` the calibrated int8 forward (models/unet_int8.py)."""
     from unetdc_tpu.checkpoint import (
         load_pth_state_dict, torch_state_dict_to_variables, load_checkpoint)
     from unetdc_tpu.core.dtypes import default_policy
@@ -274,4 +334,4 @@ def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
     return QuantifyEngine(
         variables, model_cls=model_cls,
         compute_dtype=default_policy(fast).compute_dtype,
-        max_labels=max_labels, mesh=mesh)
+        max_labels=max_labels, mesh=mesh, quantize=quantize)

@@ -93,11 +93,15 @@ def forward_flops(model, params, x) -> float:
 
 
 def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
-                   seed: int = 0, verbose: bool = True) -> Dict[str, float]:
+                   seed: int = 0, verbose: bool = True,
+                   int8: bool = False) -> Dict[str, float]:
     """Time each megastep stage on the current default device.
 
     Returns {stage: seconds_per_batch_call}, plus derived keys
-    ``total``, ``img_per_s_device``, ``forward_mfu``.
+    ``total``, ``img_per_s_device``, ``forward_mfu``. With ``int8`` the
+    quantized forward (models/unet_int8.py) is timed too and
+    ``total_int8``/``img_per_s_device_int8`` report the megastep with the
+    int8 forward substituted.
     """
     import jax
     import jax.numpy as jnp
@@ -156,6 +160,25 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
         ("packbits", st_packbits, masks),
     ]
 
+    if int8:
+        from unetdc_tpu.models import unet_int8 as qi
+
+        # calibrate on a tiny slice: scale VALUES don't affect timing, and
+        # a 128^2 batch-1 f32 calibration program compiles far faster
+        fp32c = build_fast_params(folded["params"], dtype=jnp.float32)
+        xs = x_f32[:1, :128, :128, :]
+        maxima = np.asarray(jax.jit(
+            lambda f, a: qi.forward_calib(f, a, UNetDC.dilations)[1]
+        )(fp32c, xs))
+        qp = jax.tree_util.tree_map(
+            jnp.asarray,
+            qi.build_int8_params(folded["params"], maxima))
+
+        def st_forward_int8(c):
+            return qi.forward_int8(qp, c, UNetDC.dilations)
+
+        stages.append(("forward_int8", st_forward_int8, x_f32))
+
     # relay/dispatch overhead baseline: an (almost) empty looped program
     null = _loop_jit(lambda c: c + 1, iters)
     zero = jnp.float32(0.0)
@@ -170,8 +193,12 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
             print(f"  {name:20s} {sec * 1e3:9.2f} ms/batch-{batch}  "
                   f"{batch / sec if sec else float('inf'):9.1f} img/s")
 
-    out["total"] = sum(v for k, v in out.items())
+    out["total"] = sum(v for k, v in out.items() if k != "forward_int8")
     out["img_per_s_device"] = batch / out["total"]
+    if "forward_int8" in out:
+        out["total_int8"] = (out["total"] - out["forward_bf16"]
+                             + out["forward_int8"])
+        out["img_per_s_device_int8"] = batch / out["total_int8"]
 
     fl = forward_flops(model, folded, x_f32)
     out["forward_flops"] = fl
@@ -180,6 +207,10 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
     if verbose:
         print(f"  {'TOTAL':20s} {out['total'] * 1e3:9.2f} ms/batch-{batch}  "
               f"{out['img_per_s_device']:9.1f} img/s (device only)")
+        if "total_int8" in out:
+            print(f"  {'TOTAL (int8 fwd)':20s} {out['total_int8'] * 1e3:9.2f}"
+                  f" ms/batch-{batch}  {out['img_per_s_device_int8']:9.1f}"
+                  " img/s (device only)")
         if "forward_mfu" in out:
             print(f"  forward: {fl / 1e12:.3f} TFLOP/batch, "
                   f"MFU {out['forward_mfu'] * 100:.1f}% of bf16 peak")
@@ -192,9 +223,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--json_out", default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the quantized int8 forward")
     args = ap.parse_args()
 
-    res = profile_stages(args.batch, args.size, args.iters)
+    res = profile_stages(args.batch, args.size, args.iters, int8=args.int8)
     line = json.dumps({k: (round(v, 6) if np.isfinite(v) else None)
                        for k, v in res.items()})
     print(line)
