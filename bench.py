@@ -17,6 +17,7 @@ file->artifacts contract (decode -> megastep -> CSV/PNG/report writes).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -213,7 +214,9 @@ def main():
     from unetdc_tpu.utils.device_profile import profile_stages
     try:  # int8 forward timing is additive info — never sink the bench
         prof = profile_stages(BATCH, SIZE, verbose=False, int8=True)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — log, then degrade to bf16-only
+        print(f"bench: int8 stage profiling failed ({type(e).__name__}: "
+              f"{e}); re-profiling without int8", file=sys.stderr)
         prof = profile_stages(BATCH, SIZE, verbose=False)
     stage_ms = {k: round(v * 1e3, 3) for k, v in prof.items()
                 if k not in ("img_per_s_device", "forward_mfu",
@@ -225,11 +228,15 @@ def main():
     print(json.dumps({
         "metric": "512x512 end-to-end batch quantification throughput "
                   "(rolling ball + UNetDC + CC + regionprops), 1 chip",
-        "value": round(img_per_s, 3),
+        # MEDIAN of steady-state repeats: the relay link varies ~2x
+        # hour-to-hour, so the median is the only round-over-round
+        # comparable number (VERDICT r3 item 3); best lives in extra.
+        "value": round(img_per_s_med, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_s / base, 2),
+        "vs_baseline": round(img_per_s_med / base, 2),
         "extra": {
-            "e2e_img_per_s_median": round(img_per_s_med, 3),
+            "e2e_img_per_s_best": round(img_per_s, 3),
+            "e2e_best_vs_baseline": round(img_per_s / base, 2),
             "device_only_img_per_s": round(device_img_per_s, 3),
             "device_only_img_per_s_median": round(device_img_per_s_med, 3),
             "file_pipeline_img_per_s": round(file_img_per_s, 3),

@@ -9,6 +9,8 @@ the calibration forward being numerically identical to
 reference's 0.3 threshold on decisive checkpoints.
 Reference architecture target: models/model_2.py:5-80."""
 
+import importlib.util
+
 import numpy as np
 import pytest
 
@@ -92,7 +94,8 @@ def test_int8_agreement_random_init(folded_random):
     assert np.abs(p_ref - p_q).mean() < 2e-3
 
 
-@pytest.mark.skipif(not pytest.importorskip("torch"), reason="torch oracle")
+@pytest.mark.skipif(importlib.util.find_spec("torch") is None,
+                    reason="torch oracle")
 def test_engine_int8_end_to_end(tmp_path):
     """QuantifyEngine(quantize='int8') vs the f32 parity engine on a
     decisive checkpoint: >=99.5% mask-pixel agreement at thresh 0.3 and

@@ -215,9 +215,50 @@ def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     assert summary.loc[0, "total_area_px"] == 0
 
 
+def test_component_overflow_rescued(ckpt_and_model):
+    """Exceeding max_labels on the REAL dispatch/fetch path must
+    degrade-to-correct: fetch_batch re-runs the batch at a doubled table
+    cap (reference parity — skimage labels are unbounded,
+    quantify_droplets_batch.py:82). Results must equal a large-cap engine's
+    bit for bit."""
+    from unetdc_tpu.checkpoint import (load_pth_state_dict,
+                                       torch_state_dict_to_variables)
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    ckpt, _ = ckpt_and_model
+    variables = torch_state_dict_to_variables(load_pth_state_dict(ckpt))
+    rng = np.random.RandomState(9)
+    imgs = (rng.rand(2, 96, 112, 3) * 60).astype(np.uint8)
+    yy, xx = np.mgrid[:96, :112]
+    for b in range(2):
+        for _ in range(8):
+            cy, cx = rng.randint(10, 86), rng.randint(10, 102)
+            r = rng.randint(3, 9)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+            imgs[b][blob] = np.minimum(imgs[b][blob] + 180, 255)
+
+    small = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                           max_labels=2, img_size=IMG_SIZE)
+    big = QuantifyEngine(variables, compute_dtype=jnp.float32,
+                         max_labels=4096, img_size=IMG_SIZE)
+    kw = dict(prob_thresh=0.3, min_area=1, background_radius=20)
+    out_big = big.run_batch(imgs, (96, 112), **kw)
+    assert int(out_big["total"].max()) > 2  # precondition: overflows cap 2
+    out_small = small.run_batch(imgs, (96, 112), **kw)  # rescue path
+
+    np.testing.assert_array_equal(out_small["mask"], out_big["mask"])
+    np.testing.assert_array_equal(out_small["count"], out_big["count"])
+    np.testing.assert_array_equal(out_small["total"], out_big["total"])
+    for i in range(2):
+        n = int(out_big["count"][i])
+        for k in ("area", "sum-0-lo", "sum-1-lo"):
+            np.testing.assert_array_equal(out_small[k][i][:n],
+                                          out_big[k][i][:n], err_msg=k)
+
+
 def test_component_overflow_raises(ckpt_and_model):
-    """Exceeding max_labels must raise with a clear message, not silently
-    truncate droplet tables."""
+    """Split-dict fetches (no inputs to re-run) must still raise with a
+    clear message, not silently truncate droplet tables."""
     from unetdc_tpu.checkpoint import (load_pth_state_dict,
                                        torch_state_dict_to_variables)
     from unetdc_tpu.pipelines.engine import QuantifyEngine

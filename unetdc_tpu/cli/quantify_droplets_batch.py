@@ -58,7 +58,13 @@ def main(argv=None):
 
     apply_platform_override()  # $UNETDC_TPU_PLATFORM opt-in
     maybe_enable_compilation_cache()  # $UNETDC_TPU_COMPILE_CACHE opt-in
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.int8 and args.precision == "f32":
+        # f32 is the bit-parity path; silently overriding it with the
+        # quantized forward would hand back non-parity masks
+        parser.error("--int8 contradicts --precision f32 (the parity path); "
+                     "drop one of the two flags")
 
     from unetdc_tpu.core.mesh import make_mesh
     from unetdc_tpu.pipelines.engine import load_engine

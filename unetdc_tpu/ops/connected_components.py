@@ -378,6 +378,152 @@ def sieve_small_components(
     return new_ids[labels], keep.sum().astype(jnp.int32)
 
 
+def _coord_plan(h: int, w: int, force_split: bool = False):
+    """Static plan for EXACT int32 per-component coordinate sums at any
+    image size (the reference's host skimage path has no size bound,
+    quantify_droplets_batch.py:81-95 — neither may we).
+
+    Returns (shifts, bits):
+      (None, None)  -> a single int32 payload per axis is exact
+                       (component sum <= n_pix * max_coord < 2^31);
+      otherwise     -> each coordinate is split into len(shifts) chunks of
+                       `bits` bits (chunk c = (coord >> shifts[c]) & mask),
+                       with bits chosen so (2^bits - 1) * n_pix < 2^31,
+                       i.e. every chunk's per-component sum is exact int32
+                       no matter how large the component is.
+
+    `force_split=True` requests a split plan even when unsplit would be
+    exact — the Pallas table kernel needs payloads <= 255 for bf16
+    exactness (ops/pallas_props.py), so it always aggregates chunks.
+    """
+    n_pix = h * w
+    if n_pix >= 2 ** 31:
+        raise ValueError(
+            f"image {h}x{w} has >= 2^31 pixels: flat int32 pixel indices "
+            "overflow; tile the image")
+    mc = max(h - 1, w - 1, 1)
+    if not force_split and n_pix * mc < 2 ** 31:
+        return None, None
+    bits = min(8, ((2 ** 31 - 1) // n_pix + 1).bit_length() - 1)
+    shifts = tuple(range(0, mc.bit_length(), bits))
+    return shifts, bits
+
+
+def _out_base_bits(h: int, w: int) -> int:
+    """log2 of the OUTPUT recombination base for split coordinate sums:
+    totals are emitted as (lo, hi) int32 pairs with
+    total == hi * 2^obits + lo. 8 keeps the historical byte contract
+    ('sum-N-lo'/'sum-N-hi') whenever hi = total >> 8 fits int32
+    (total bound n_pix * max_coord < 2^39, i.e. through 8192x8192);
+    16 ('sum-N-lo16'/'sum-N-hi16') extends exactness to 2^47 — beyond
+    any image that also satisfies n_pix < 2^31."""
+    bound = h * w * max(h - 1, w - 1, 1)
+    if bound < 2 ** 39:
+        return 8
+    if bound < 2 ** 47:
+        return 16
+    raise ValueError(
+        f"image {h}x{w}: coordinate-sum bound {bound} exceeds the 2-limb "
+        "int32 output contract (2^47); tile the image")
+
+
+def _chunks_to_lo_hi(chunks: jax.Array, shifts, bits: int, obits: int):
+    """Exact (lo, hi) int32 recombination of per-chunk coordinate sums:
+    total = sum_c chunks[..., c] << shifts[c] == hi * 2^obits + lo.
+
+    Multiprecision in int32: every hi term floor(term_c / 2^obits) is
+    bounded by total / 2^obits < 2^31 (enforced by `_out_base_bits`), so
+    the left-shifts below never wrap; `(v << s) & mask` is exact
+    mod-2^obits arithmetic even where the raw int32 shift wraps (int32
+    wrap is mod 2^32, a multiple of the mask modulus). lo accumulates at
+    most len(shifts) * (2^obits - 1) — far inside int32."""
+    del bits  # plan symmetry; exactness needs only the shifts
+    lo = jnp.zeros_like(chunks[..., 0])
+    hi = jnp.zeros_like(chunks[..., 0])
+    mask = (1 << obits) - 1
+    for c, s in enumerate(shifts):
+        v = chunks[..., c]
+        if s >= obits:
+            hi = hi + (v << (s - obits))
+        else:
+            hi = hi + (v >> (obits - s))
+            lo = lo + ((v << s) & mask)
+    return lo, hi
+
+
+def _chunks_to_total(chunks: jax.Array, shifts) -> jax.Array:
+    """Exact single-int32 recombination — valid only when the caller's
+    plan says the unsplit total fits int32 (n_pix * max_coord < 2^31)."""
+    tot = jnp.zeros_like(chunks[..., 0])
+    for c, s in enumerate(shifts):
+        tot = tot + (chunks[..., c] << s)
+    return tot
+
+
+def _assemble_quantify(csums, n_total, hw, min_area, max_labels,
+                       want_presieve: bool, shifts, bits: int):
+    """Shared sieve + relabel + output assembly from per-component sums.
+
+    csums: (cap, 1 + 2k) int32 — [area, axis0 chunk sums..., axis1 chunk
+    sums...] in raster-rank order (slot k = pre-sieve label k), or
+    (cap, 3) [area, sum0, sum1] when shifts is None (unsplit-exact).
+
+    Output contract (consumed by pipelines/quantify_batch.py
+    props_to_dataframe): 'area' plus per-axis coordinate sums as either a
+    bare 'sum-N-lo' (total itself, small images), a ('sum-N-lo',
+    'sum-N-hi') pair with total = hi * 256 + lo, or a ('sum-N-lo16',
+    'sum-N-hi16') pair with total = hi * 65536 + lo (giant images)."""
+    h, w = hw
+    cap = max_labels + 1
+    slots = jnp.arange(cap)
+    slot_valid = (slots >= 1) & (slots <= n_total)
+    area = jnp.where(slot_valid, csums[:, 0], 0)
+
+    if shifts is None:
+        payload = csums  # (cap, 3)
+        pre0 = csums[:, 1].astype(jnp.float32)
+        pre1 = csums[:, 2].astype(jnp.float32)
+        obits = None
+    else:
+        k = len(shifts)
+        obits = _out_base_bits(h, w)
+        lo0, hi0 = _chunks_to_lo_hi(csums[:, 1:1 + k], shifts, bits, obits)
+        lo1, hi1 = _chunks_to_lo_hi(csums[:, 1 + k:1 + 2 * k], shifts, bits,
+                                    obits)
+        payload = jnp.stack([csums[:, 0], lo0, hi0, lo1, hi1], axis=-1)
+        # f32 combination for device consumers (heatmap centroids): rounds
+        # above 2^24 by design — the exact path is the int32 (lo, hi) pair
+        pre0 = hi0.astype(jnp.float32) * float(2 ** obits) + lo0
+        pre1 = hi1.astype(jnp.float32) * float(2 ** obits) + lo1
+
+    keep = slot_valid & (area >= min_area)
+    new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
+    out = jnp.zeros((cap, payload.shape[1]), jnp.int32).at[new_label].set(
+        jnp.where(keep[:, None], payload, 0))
+    result = {
+        "count": keep.sum().astype(jnp.int32),
+        "total": n_total,
+    }
+    if shifts is None:
+        result["area"] = out[1:, 0]
+        result["sum-0-lo"] = out[1:, 1]
+        result["sum-1-lo"] = out[1:, 2]
+    else:
+        suffix = "" if obits == 8 else "16"
+        result["area"] = out[1:, 0]
+        result[f"sum-0-lo{suffix}"] = out[1:, 1]
+        result[f"sum-0-hi{suffix}"] = out[1:, 2]
+        result[f"sum-1-lo{suffix}"] = out[1:, 3]
+        result[f"sum-1-hi{suffix}"] = out[1:, 4]
+    if want_presieve:
+        # pre-sieve table in raster order (labels as if min_area == 1)
+        result["all_area"] = area[1:]
+        result["all_sum-0"] = jnp.where(slot_valid, pre0, 0.0)[1:]
+        result["all_sum-1"] = jnp.where(slot_valid, pre1, 0.0)[1:]
+        result["all_count"] = jnp.minimum(n_total, max_labels)
+    return result
+
+
 def _props_impl(max_labels: int) -> str:
     """Which property-aggregation backend quantify uses (trace time):
     'pallas' = MXU one-hot matmul kernel (ops/pallas_props.py; TPU only,
@@ -432,7 +578,9 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
         labels = _propagate_n(jnp.where(is_root, rank, 0), fg, 0,
                               connectivity, is_min=False, n=n_sweeps)
         labels = jnp.where(fg, labels, 0)
-        tables = component_tables(labels, interpret=(impl == "interp"))
+        kshifts, kbits = _coord_plan(h, w, force_split=True)
+        tables = component_tables(labels, shifts=kshifts, bits=kbits,
+                                  interpret=(impl == "interp"))
         return jax.vmap(
             lambda t, n: _quantify_from_table(t, n, (h, w), min_area,
                                               max_labels, want_presieve)
@@ -446,68 +594,33 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
 def _quantify_from_table(table, n_total, hw, min_area, max_labels,
                          want_presieve: bool = False):
     """Sieve + relabel + output assembly from a per-label property table
-    (ops/pallas_props.py layout: [count, row&255, row>>8, col&255, col>>8]
-    per label slot). Produces the exact output contract of
+    (ops/pallas_props.py layout: [count, axis-0 chunk sums..., axis-1
+    chunk sums...] per label slot, chunked per `_coord_plan(h, w,
+    force_split=True)`). Produces the exact output contract of
     `_quantify_from_roots` (same keys, same int32 exactness bounds)."""
     h, w = hw
-    n_pix = h * w
-    if 255 * n_pix >= 2 ** 31:
-        raise ValueError(
-            f"image {h}x{w} exceeds the exact-int32 regionprops bound "
-            "(~8.4M pixels); tile the image or extend the coordinate split")
+    kshifts, kbits = _coord_plan(h, w, force_split=True)
     cap = max_labels + 1
     t = table[:cap]
-    slots = jnp.arange(cap)
-    slot_valid = (slots >= 1) & (slots <= n_total)
-    area = jnp.where(slot_valid, t[:, 0], 0)
-    split = n_pix * max(h - 1, w - 1) >= 2 ** 31  # static
-    if split:
-        payload = jnp.stack([area, t[:, 1], t[:, 2], t[:, 3], t[:, 4]],
-                            axis=-1)
-        pre0 = t[:, 2].astype(jnp.float32) * 256.0 + t[:, 1]
-        pre1 = t[:, 4].astype(jnp.float32) * 256.0 + t[:, 3]
-    else:
-        # recombine coordinate bytes on device (exact in int32 here) so the
-        # device->host transfer stays at 3 tables like the scatter path
-        s0 = t[:, 2] * 256 + t[:, 1]
-        s1 = t[:, 4] * 256 + t[:, 3]
-        payload = jnp.stack([area, s0, s1], axis=-1)
-        pre0 = s0.astype(jnp.float32)
-        pre1 = s1.astype(jnp.float32)
-
-    keep = slot_valid & (area >= min_area)
-    new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
-    out = jnp.zeros((cap, payload.shape[1]), jnp.int32).at[new_label].set(
-        jnp.where(keep[:, None], payload, 0))
-    result = {
-        "count": keep.sum().astype(jnp.int32),
-        "total": n_total,
-        "area": out[1:, 0],
-        "sum-0-lo": out[1:, 1],
-        "sum-1-lo": out[1:, 3] if split else out[1:, 2],
-    }
-    if split:
-        result["sum-0-hi"] = out[1:, 2]
-        result["sum-1-hi"] = out[1:, 4]
-    if want_presieve:
-        result["all_area"] = area[1:]
-        result["all_sum-0"] = jnp.where(slot_valid, pre0, 0.0)[1:]
-        result["all_sum-1"] = jnp.where(slot_valid, pre1, 0.0)[1:]
-        result["all_count"] = jnp.minimum(n_total, max_labels)
-    return result
+    k = len(kshifts)
+    img_shifts, img_bits = _coord_plan(h, w)
+    if img_shifts is None:
+        # recombine the kernel's chunks on device (exact in int32 here) so
+        # the device->host transfer stays at 3 tables like the scatter path
+        csums = jnp.stack([t[:, 0],
+                           _chunks_to_total(t[:, 1:1 + k], kshifts),
+                           _chunks_to_total(t[:, 1 + k:1 + 2 * k], kshifts)],
+                          axis=-1)
+        return _assemble_quantify(csums, n_total, hw, min_area, max_labels,
+                                  want_presieve, None, 0)
+    return _assemble_quantify(t, n_total, hw, min_area, max_labels,
+                              want_presieve, kshifts, kbits)
 
 
 def _quantify_from_roots(mask, roots, min_area, max_labels,
                          want_presieve: bool = False):
     h, w = mask.shape
     n_pix = h * w
-    # int32 exactness bound: coordinate LOW bytes sum to <= 255 * n_pix and
-    # HIGH bytes to <= (max(h,w)>>8) * n_pix; both must stay under 2^31
-    # (hi/lo split below). 255 * n_pix is the binding constraint.
-    if 255 * n_pix >= 2 ** 31:
-        raise ValueError(
-            f"image {h}x{w} exceeds the exact-int32 regionprops bound "
-            "(~8.4M pixels); tile the image or extend the coordinate split")
     cap = max_labels + 1
     fg = mask.astype(bool)
     idx = jnp.arange(n_pix, dtype=jnp.int32).reshape(h, w)
@@ -518,55 +631,28 @@ def _quantify_from_roots(mask, roots, min_area, max_labels,
     keys = jnp.where(fg, roots, n_pix).reshape(-1)
     rows = jnp.arange(n_pix, dtype=jnp.int32) // w
     cols = jnp.arange(n_pix, dtype=jnp.int32) % w
-    # When a full-image component's coordinate sums can exceed int32
-    # (images beyond ~1300px on a side), split coordinates into low/high
-    # bytes — exactness at the cost of 2 extra scatter payloads. The common
-    # (<=~1290^2) case keeps the cheaper 3-payload scatter.
-    split = n_pix * max(h - 1, w - 1) >= 2 ** 31  # static
-    if split:
-        feats = jnp.stack([jnp.ones_like(rows), rows & 255, rows >> 8,
-                           cols & 255, cols >> 8], axis=-1)
-    else:
+    # Exact at ANY image size: when a full-image component's coordinate
+    # sums could exceed int32, split coordinates into `_coord_plan` chunks
+    # (bytes through ~2896^2, narrower chunks beyond) — exactness at the
+    # cost of extra scatter payloads. The common (<=~1290^2) case keeps
+    # the cheaper 3-payload scatter.
+    shifts, bits = _coord_plan(h, w)
+    if shifts is None:
         feats = jnp.stack([jnp.ones_like(rows), rows, cols], axis=-1)
+    else:
+        m = (1 << bits) - 1
+        feats = jnp.stack(
+            [jnp.ones_like(rows)]
+            + [(rows >> s) & m for s in shifts]
+            + [(cols >> s) & m for s in shifts], axis=-1)
     sums = jax.ops.segment_sum(feats, keys, num_segments=n_pix + 1)
 
     slot = jnp.where(is_root & (rank <= max_labels), rank, 0).reshape(-1)
     compact_root = jnp.zeros(cap, jnp.int32).at[slot].set(
         jnp.where(slot > 0, idx.reshape(-1), 0))
-    csums = sums[compact_root]  # (cap, 3 or 5)
-    slot_valid = (jnp.arange(cap) >= 1) & (jnp.arange(cap) <= n_total)
-    area = jnp.where(slot_valid, csums[:, 0], 0)
-
-    keep = slot_valid & (area >= min_area)
-    new_label = jnp.cumsum(keep.astype(jnp.int32)) * keep
-    out = jnp.zeros((cap, csums.shape[1]), jnp.int32).at[new_label].set(
-        jnp.where(keep[:, None], csums, 0))
-    # sum-N-lo/hi contract: total = hi * 256 + lo; the hi keys are OMITTED
-    # on the single-payload (small-image) path — consumers treat a missing
-    # hi as zero, saving their transfer bytes
-    result = {
-        "count": keep.sum().astype(jnp.int32),
-        "total": n_total,
-        "area": out[1:, 0],
-        "sum-0-lo": out[1:, 1],
-        "sum-1-lo": out[1:, 3] if split else out[1:, 2],
-    }
-    if split:
-        result["sum-0-hi"] = out[1:, 2]
-        result["sum-1-hi"] = out[1:, 4]
-        pre0 = csums[:, 2].astype(jnp.float32) * 256.0 + csums[:, 1]
-        pre1 = csums[:, 4].astype(jnp.float32) * 256.0 + csums[:, 3]
-    else:
-        pre0 = csums[:, 1].astype(jnp.float32)
-        pre1 = csums[:, 2].astype(jnp.float32)
-    if want_presieve:
-        # pre-sieve table in raster order (labels as if min_area == 1);
-        # f32 combination is fine for device consumers (heatmap centroids)
-        result["all_area"] = jnp.where(slot_valid, csums[:, 0], 0)[1:]
-        result["all_sum-0"] = jnp.where(slot_valid, pre0, 0.0)[1:]
-        result["all_sum-1"] = jnp.where(slot_valid, pre1, 0.0)[1:]
-        result["all_count"] = jnp.minimum(n_total, max_labels)
-    return result
+    csums = sums[compact_root]  # (cap, 3 or 1 + 2 * n_chunks)
+    return _assemble_quantify(csums, n_total, (h, w), min_area, max_labels,
+                              want_presieve, shifts, bits)
 
 
 @functools.partial(jax.jit,

@@ -22,16 +22,19 @@ exactness; CAP grows to 5120 slots as a side effect.
 
 Exactness (integer results, no rounding):
   - one-hots and feature payloads (each <= 255: count bit, coordinate
-    low/high bytes) are exact in bf16;
+    chunks of at most 8 bits) are exact in bf16;
   - each chunk's f32 MXU accumulation sums <= 255 * 8192 < 2^24 (exact);
   - chunks accumulate into the int32 output block (revisited across grid
-    steps), bounded by 255 * n_pixels < 2^31 (the module-level bound
-    already enforced in ops.connected_components).
+    steps), bounded by (2^bits - 1) * n_pixels < 2^31 — guaranteed by the
+    caller's `_coord_plan` (ops.connected_components), which narrows the
+    chunk width below 8 bits for images past ~8.4M pixels.
 
-Feature order: [count, row & 255, row >> 8, col & 255, col >> 8].
-Labels beyond CAP-1 (= 4159) one-hot to nothing and are dropped — callers
-detect overflow via the separately-computed component count, exactly like
-the segment_sum path did.
+Feature order: [count, axis-0 chunks low..high, axis-1 chunks low..high]
+per the (shifts, bits) plan — the historical default is the byte split
+[count, row & 255, row >> 8, col & 255, col >> 8].
+Labels beyond CAP-1 one-hot to nothing and are dropped — callers detect
+overflow via the separately-computed component count, exactly like the
+segment_sum path did.
 """
 
 from __future__ import annotations
@@ -47,21 +50,23 @@ from jax.experimental.pallas import tpu as pltpu
 HI = 40
 LO = 128
 CAP = HI * LO  # 5120 table slots: labels 0 (background) .. 5119
-NFEAT = 5
+NFEAT = 5  # feature count of the default byte-split plan
 
 
 SUB = 8  # sub-chunks per grid step (Mosaic: 2nd-to-last block dim % 8 == 0)
 
 
-def _props_kernel(h0_ref, w_ref, lab_ref, out_ref):
+def _props_kernel(h0_ref, w_ref, lab_ref, out_ref, *, shifts, bits):
     """Grid (B, n_super). lab block: (1, SUB, chunk) int32 labels, flattened
-    row-major; out block: (1, NFEAT * HI, LO) int32, revisited across the
+    row-major; out block: (1, nfeat * HI, LO) int32, revisited across the
     super-chunk dimension. h0/w live whole in SMEM (rank-1 SMEM blocks
     cannot be per-step sliced by the Mosaic lowering).
 
     The SUB sub-chunk results accumulate in f32 before one int32 convert —
     exact, since sums <= 255 * SUB * chunk <= 16.7M < 2^24."""
     chunk = lab_ref.shape[-1]
+    nfeat = 1 + 2 * len(shifts)
+    m = (1 << bits) - 1
     w = w_ref[0]                          # image width (SMEM scalar)
     h0 = h0_ref[pl.program_id(1)]         # first row of this super-chunk
 
@@ -83,11 +88,9 @@ def _props_kernel(h0_ref, w_ref, lab_ref, out_ref):
         oh_lo = (lo_iota == lo).astype(jnp.bfloat16)      # (LO, chunk)
 
         feats = (
-            jnp.ones((1, chunk), jnp.bfloat16),
-            (row & 255).astype(jnp.bfloat16),
-            (row >> 8).astype(jnp.bfloat16),
-            (col & 255).astype(jnp.bfloat16),
-            (col >> 8).astype(jnp.bfloat16),
+            (jnp.ones((1, chunk), jnp.bfloat16),)
+            + tuple(((row >> sh) & m).astype(jnp.bfloat16) for sh in shifts)
+            + tuple(((col >> sh) & m).astype(jnp.bfloat16) for sh in shifts)
         )
         a = jnp.concatenate([oh_hi * f for f in feats], axis=0)
 
@@ -95,10 +98,10 @@ def _props_kernel(h0_ref, w_ref, lab_ref, out_ref):
             a, oh_lo,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # (5*HI, LO)
+        )                                                  # (nfeat*HI, LO)
 
     acc = jax.lax.fori_loop(
-        0, SUB, body, jnp.zeros((NFEAT * HI, LO), jnp.float32))
+        0, SUB, body, jnp.zeros((nfeat * HI, LO), jnp.float32))
     tab = acc.astype(jnp.int32)
 
     @pl.when(pl.program_id(1) == 0)
@@ -110,14 +113,17 @@ def _props_kernel(h0_ref, w_ref, lab_ref, out_ref):
         out_ref[0] = out_ref[0] + tab
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def component_tables(labels: jax.Array, interpret: bool = False) -> jax.Array:
-    """(B, H, W) int32 compact label images -> (B, CAP, NFEAT) int32 tables.
+@functools.partial(jax.jit, static_argnames=("shifts", "bits", "interpret"))
+def component_tables(labels: jax.Array, shifts=(0, 8), bits: int = 8,
+                     interpret: bool = False) -> jax.Array:
+    """(B, H, W) int32 compact label images -> (B, CAP, nfeat) int32 tables.
 
-    table[b, k] = [pixel count, sum(row)&bytes, sum(col)&bytes] of label k
-    (k = 0 is background). Exact integers; see module docstring.
+    table[b, k] = [pixel count, per-(shifts, bits)-plan coordinate chunk
+    sums] of label k (k = 0 is background). Exact integers; see module
+    docstring. The default plan is the historical byte split.
     """
     b, h, w = labels.shape
+    nfeat = 1 + 2 * len(shifts)
     # chunk = k rows, flattened to the lane dimension OUTSIDE the kernel
     # (in-kernel sublane->lane reshapes are Mosaic-hostile); SUB chunks per
     # grid step satisfy the (8, 128) block-divisibility rule
@@ -134,7 +140,8 @@ def component_tables(labels: jax.Array, interpret: bool = False) -> jax.Array:
     h0s = (np.arange(n_super, dtype=np.int32) * k * SUB)
 
     out = pl.pallas_call(
-        _props_kernel,
+        functools.partial(_props_kernel, shifts=tuple(shifts),
+                          bits=int(bits)),
         grid=(b, n_super),
         in_specs=[
             pl.BlockSpec((n_super,), lambda i, j: (0,),
@@ -144,24 +151,28 @@ def component_tables(labels: jax.Array, interpret: bool = False) -> jax.Array:
             pl.BlockSpec((1, SUB, chunk), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, NFEAT * HI, LO), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, nfeat * HI, LO), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, NFEAT * HI, LO), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, nfeat * HI, LO), jnp.int32),
         interpret=interpret,
     )(h0s, np.asarray([w], np.int32), lab3)
 
-    # (B, 5*HI, LO) -> (B, 5, HI*LO) -> (B, CAP, 5)
-    return out.reshape(b, NFEAT, CAP).transpose(0, 2, 1)
+    # (B, nfeat*HI, LO) -> (B, nfeat, HI*LO) -> (B, CAP, nfeat)
+    return out.reshape(b, nfeat, CAP).transpose(0, 2, 1)
 
 
-def component_tables_reference(labels: jax.Array) -> jax.Array:
+def component_tables_reference(labels: jax.Array, shifts=(0, 8),
+                               bits: int = 8) -> jax.Array:
     """jnp oracle for the kernel (and the non-TPU fallback path)."""
     b, h, w = labels.shape
     p = h * w
+    m = (1 << bits) - 1
     rows = jnp.arange(p, dtype=jnp.int32) // w
     cols = jnp.arange(p, dtype=jnp.int32) % w
-    feats = jnp.stack([jnp.ones(p, jnp.int32), rows & 255, rows >> 8,
-                       cols & 255, cols >> 8], axis=-1)
+    feats = jnp.stack(
+        [jnp.ones(p, jnp.int32)]
+        + [(rows >> s) & m for s in shifts]
+        + [(cols >> s) & m for s in shifts], axis=-1)
 
     def one(lab):
         return jax.ops.segment_sum(feats, lab.reshape(-1), num_segments=CAP)

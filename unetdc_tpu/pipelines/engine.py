@@ -111,7 +111,8 @@ class QuantifyEngine:
         # 31M-weight pytree lives in HBM, not in the compiled HLO
         self._megastep = jax.jit(
             self._megastep_packed_impl,
-            static_argnames=("out_hw", "background_radius", "apply_bg"))
+            static_argnames=("out_hw", "background_radius", "apply_bg",
+                             "max_labels"))
         self._layouts: Dict[Any, Any] = {}
         self._forward = jax.jit(self._apply_model)
 
@@ -170,9 +171,14 @@ class QuantifyEngine:
     # ------------------------------------------------------------------
     def _megastep_impl(self, params, imgs_u8: jax.Array, thresh: jax.Array,
                        min_area: jax.Array, out_hw: Tuple[int, int],
-                       background_radius: int, apply_bg: bool
-                       ) -> Dict[str, jax.Array]:
-        """(B, H, W, 3) uint8 -> masks + per-droplet property tables."""
+                       background_radius: int, apply_bg: bool,
+                       max_labels: int = None) -> Dict[str, jax.Array]:
+        """(B, H, W, 3) uint8 -> masks + per-droplet property tables.
+        `max_labels` (static; default: the engine's) is an explicit arg so
+        the overflow-rescue path can recompile at a larger cap without
+        mutating engine state under the jit cache's feet."""
+        if max_labels is None:
+            max_labels = self.max_labels
         x = self._preprocess(imgs_u8, background_radius, apply_bg)
         probs = self._apply_model(params, x)  # (B,S,S,1)
         mask512 = (probs[..., 0] > thresh).astype(jnp.uint8)
@@ -181,7 +187,7 @@ class QuantifyEngine:
             lambda m512: resize_linear_u8_cv2exact(m512, out_hw))(mask512)
         # subclasses that also need the pre-sieve component table set
         # _want_presieve so the (expensive) propagation runs only once
-        stats = quantify_mask_batch(masks, min_area, self.max_labels,
+        stats = quantify_mask_batch(masks, min_area, max_labels,
                                     connectivity=1,
                                     want_presieve=self._want_presieve)
         # pack masks to bits: device->host links are the pipeline's
@@ -189,8 +195,9 @@ class QuantifyEngine:
         packed = jax.vmap(lambda m: jnp.packbits(m.reshape(-1)))(masks)
         out = {"mask_bits": packed, "count": stats["count"],
                "total": stats["total"], "area": stats["area"]}
-        for k in ("sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi"):
-            if k in stats:  # hi keys absent on the small-image exact path
+        for k in ("sum-0-lo", "sum-0-hi", "sum-1-lo", "sum-1-hi",
+                  "sum-0-lo16", "sum-0-hi16", "sum-1-lo16", "sum-1-hi16"):
+            if k in stats:  # key set depends on the image-size plan
                 out[k] = stats[k]
         if self._want_presieve:
             for k in ("all_area", "all_sum-0", "all_sum-1", "all_count"):
@@ -198,8 +205,8 @@ class QuantifyEngine:
         return out
 
     def _megastep_packed_impl(self, params, imgs_u8, thresh, min_area,
-                              out_hw, background_radius, apply_bg
-                              ) -> jax.Array:
+                              out_hw, background_radius, apply_bg,
+                              max_labels: int = None) -> jax.Array:
         """Megastep + flatten every output into ONE (B, bytes) uint8 buffer.
 
         The axon relay charges ~0.1 s dispatch latency PER transfer call;
@@ -208,7 +215,7 @@ class QuantifyEngine:
         bitcast to uint8) makes the device->host fetch a single call. The
         host splits the buffer by the static layout (`_layout_for`)."""
         out = self._megastep_impl(params, imgs_u8, thresh, min_area, out_hw,
-                                  background_radius, apply_bg)
+                                  background_radius, apply_bg, max_labels)
         b = imgs_u8.shape[0]
         parts = []
         for k in sorted(out):
@@ -219,16 +226,19 @@ class QuantifyEngine:
         return jnp.concatenate(parts, axis=1)
 
     def _layout_for(self, batch: int, in_hw: Tuple[int, int],
-                    out_hw: Tuple[int, int]):
+                    out_hw: Tuple[int, int], max_labels: int = None):
         """[(key, np.dtype, shape, byte_offset, row_bytes)] for the packed
         buffer — derived via eval_shape (no compile, no device traffic).
         Only shapes matter: thresh/min_area/radius don't affect them."""
-        cache_key = (batch, in_hw, out_hw)
+        if max_labels is None:
+            max_labels = self.max_labels
+        cache_key = (batch, in_hw, out_hw, max_labels)
         if cache_key not in self._layouts:
             imgs = jax.ShapeDtypeStruct((batch, *in_hw, 3), jnp.uint8)
             out = jax.eval_shape(
                 lambda p, x: self._megastep_impl(
-                    p, x, jnp.float32(0.3), jnp.int32(1), out_hw, 50, True),
+                    p, x, jnp.float32(0.3), jnp.int32(1), out_hw, 50, True,
+                    max_labels),
                 self.params, imgs)
             layout, off = [], 0
             for k in sorted(out):
@@ -262,16 +272,21 @@ class QuantifyEngine:
             tuple(out_hw), int(background_radius), bool(apply_bg))
         layout = self._layout_for(imgs_u8.shape[0], imgs_u8.shape[1:3],
                                   tuple(out_hw))
-        return packed, layout
+        # the device input rides along so fetch_batch can transparently
+        # re-run the batch at a larger table cap on component overflow
+        retry_ctx = (x, float(prob_thresh), int(min_area),
+                     int(background_radius), bool(apply_bg))
+        return packed, layout, retry_ctx
 
     def fetch_batch(self, out, out_hw: Tuple[int, int]
                     ) -> Dict[str, np.ndarray]:
         """Transfer a dispatched batch to host + unpack masks (ONE device
         transfer: the handle is a packed uint8 buffer + its layout)."""
+        retry_ctx = None
         if isinstance(out, dict):  # already-split arrays (tests, library)
             host = jax.tree_util.tree_map(np.asarray, out)
         else:
-            packed, layout = out
+            packed, layout, retry_ctx = out
             buf = np.asarray(packed)  # the single device->host transfer
             # Guard the _layout_for invariant (shapes independent of
             # thresh/min_area/radius/apply_bg): if a future megastep change
@@ -287,15 +302,53 @@ class QuantifyEngine:
             for k, dt, sh, off, nb in layout:
                 seg = np.ascontiguousarray(buf[:, off:off + nb])
                 host[k] = seg.view(dt).reshape(sh)
-        if int(host["total"].max()) > self.max_labels:
-            raise RuntimeError(
-                f"image has {int(host['total'].max())} components, exceeding "
-                f"max_labels={self.max_labels}; rebuild the engine with a "
-                "larger max_labels")
+        total_max = int(host["total"].max())
+        if total_max > self.max_labels:
+            if retry_ctx is None:
+                # split-dict callers carry no inputs to re-run (tests,
+                # library one-shots): fail loudly rather than truncate
+                raise RuntimeError(
+                    f"image has {total_max} components, exceeding "
+                    f"max_labels={self.max_labels}; rebuild the engine "
+                    "with a larger max_labels")
+            # Degrade-to-correct (the reference's host skimage path has no
+            # component cap, quantify_droplets_batch.py:82): transparently
+            # re-run THIS batch at the next power-of-two cap that fits.
+            # Costs one extra compile + step — correctness over speed.
+            host = self._rerun_with_cap(total_max, retry_ctx, out_hw)
         b = host["mask_bits"].shape[0]
         oh, ow = out_hw
         host["mask"] = np.unpackbits(
             host.pop("mask_bits"), axis=-1)[:, :oh * ow].reshape(b, oh, ow)
+        return host
+
+    def _rerun_with_cap(self, total_max: int, retry_ctx, out_hw):
+        """Overflow rescue: re-run one batch with the table cap raised to
+        the next power of two >= the exact component count (`total` is
+        exact regardless of the cap — it is counted from the propagation
+        roots, not the table). The larger-cap program compiles once and is
+        cached per cap, so repeated dense batches pay the compile once."""
+        import sys
+
+        x, prob_thresh, min_area, background_radius, apply_bg = retry_ctx
+        cap = max(2 * self.max_labels, 2)
+        while cap < total_max:
+            cap *= 2
+        print(f"unetdc_tpu: batch has an image with {total_max} components "
+              f"(> max_labels={self.max_labels}); re-running it at cap "
+              f"{cap} (one-off recompile)", file=sys.stderr)
+        packed = self._megastep(
+            self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
+            tuple(out_hw), int(background_radius), bool(apply_bg),
+            max_labels=cap)
+        layout = self._layout_for(x.shape[0], x.shape[1:3], tuple(out_hw),
+                                  max_labels=cap)
+        buf = np.asarray(packed)
+        host = {}
+        for k, dt, sh, off, nb in layout:
+            seg = np.ascontiguousarray(buf[:, off:off + nb])
+            host[k] = seg.view(dt).reshape(sh)
+        assert int(host["total"].max()) <= cap  # exact count, cap fits
         return host
 
     def run_batch(self, imgs_u8: np.ndarray, out_hw: Tuple[int, int],

@@ -233,8 +233,9 @@ class BlobInspectorPipeline(BatchQuantifyPipeline):
                 cmap="hot", vmin=0, vmax=15)
 
             props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
-                                  "sum-0-hi", "sum-1-lo",
-                                  "sum-1-hi") if k in out}
+                                  "sum-0-hi", "sum-1-lo", "sum-1-hi",
+                                  "sum-0-lo16", "sum-0-hi16",
+                                  "sum-1-lo16", "sum-1-hi16") if k in out}
             df = props_to_dataframe(props_i, out["count"][i],
                                     self.px_per_micron)
             df.insert(0, "filename", fpath.name)

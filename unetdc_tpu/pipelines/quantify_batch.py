@@ -51,6 +51,13 @@ def props_to_dataframe(props: Dict[str, np.ndarray], count: int,
     # f64 on host from exact integer device sums (hi/lo byte split) ==
     # skimage's f64 results bit-for-bit
     def _sum(axis):
+        # three device contracts by image size (ops/connected_components
+        # _assemble_quantify): bare lo (total fits int32), lo/hi base 256,
+        # lo16/hi16 base 65536 (giant images past ~8192^2)
+        if f"sum-{axis}-lo16" in props:
+            lo = np.asarray(props[f"sum-{axis}-lo16"][:n], np.int64)
+            return np.asarray(props[f"sum-{axis}-hi16"][:n],
+                              np.int64) * 65536 + lo
         lo = np.asarray(props[f"sum-{axis}-lo"][:n], np.int64)
         hi = props.get(f"sum-{axis}-hi")
         return lo if hi is None else np.asarray(hi[:n], np.int64) * 256 + lo
@@ -203,8 +210,9 @@ class BatchQuantifyPipeline:
             self._submit_write(encode_png_gray,
                                self.mask_dir / f"{name}_pred.png", mask * 255)
             props_i = {k: out[k][i] for k in ("area", "sum-0-lo",
-                                  "sum-0-hi", "sum-1-lo",
-                                  "sum-1-hi") if k in out}
+                                  "sum-0-hi", "sum-1-lo", "sum-1-hi",
+                                  "sum-0-lo16", "sum-0-hi16",
+                                  "sum-1-lo16", "sum-1-hi16") if k in out}
             with stage_timer("host_csv"):
                 from unetdc_tpu.io.fastcsv import write_csv
 
