@@ -23,13 +23,22 @@ import time
 import numpy as np
 
 
-def make_blob_images(n, h, w, seed=0):
-    """Synthetic microscopy-like images: dark field + bright droplets."""
+def make_blob_images(n, h, w, seed=0, gray=False):
+    """Synthetic microscopy-like images: dark field + bright droplets.
+
+    `gray=True` replicates one channel into RGB — representative of the
+    reference's real data (its committed overlay outputs show every
+    non-annotation pixel with all three channels exactly equal), and the
+    workload that exercises the grayscale upload fast path."""
     rng = np.random.RandomState(seed)
     imgs = np.empty((n, h, w, 3), np.uint8)
     yy, xx = np.mgrid[:h, :w]
     for i in range(n):
-        img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
+        if gray:
+            img = np.repeat((rng.rand(h, w, 1) * 60).astype(np.uint8),
+                            3, axis=-1)
+        else:
+            img = (rng.rand(h, w, 3) * 60).astype(np.uint8)
         for _ in range(40):
             cy, cx = rng.randint(10, h - 10), rng.randint(10, w - 10)
             r = rng.randint(3, 12)
@@ -204,6 +213,19 @@ def main():
     engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3, min_area=1)  # warm
 
     img_per_s, img_per_s_med = bench_engine_loop(engine, imgs, SIZE)
+
+    # grayscale-data e2e: the reference's real microscopy is grayscale
+    # saved as RGB, so channel-equal batches upload ONE channel (3x fewer
+    # bytes over the link that bounds e2e). Kept in extra — the headline
+    # stays on the RGB workload for round-over-round comparability.
+    from unetdc_tpu.pipelines.engine import grayscale_view
+    gray_imgs = grayscale_view(make_blob_images(BATCH, SIZE, SIZE,
+                                                gray=True))
+    assert gray_imgs.ndim == 3
+    engine.run_batch(gray_imgs, (SIZE, SIZE))  # warm the gray-shape compile
+    gray_img_per_s, gray_img_per_s_med = bench_engine_loop(
+        engine, gray_imgs, SIZE)
+
     file_img_per_s = bench_file_pipeline(engine, SIZE)
     device_img_per_s, device_img_per_s_med = bench_device_only(
         engine, imgs, SIZE)
@@ -237,6 +259,11 @@ def main():
         "extra": {
             "e2e_img_per_s_best": round(img_per_s, 3),
             "e2e_best_vs_baseline": round(img_per_s / base, 2),
+            # grayscale-as-RGB workload (what the reference's data actually
+            # is): single-channel upload path, bit-identical results
+            "e2e_grayscale_img_per_s": round(gray_img_per_s_med, 3),
+            "e2e_grayscale_img_per_s_best": round(gray_img_per_s, 3),
+            "e2e_grayscale_vs_baseline": round(gray_img_per_s_med / base, 2),
             "device_only_img_per_s": round(device_img_per_s, 3),
             "device_only_img_per_s_median": round(device_img_per_s_med, 3),
             "file_pipeline_img_per_s": round(file_img_per_s, 3),

@@ -32,6 +32,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Opt-in persistent compile cache for the suite: the heaviest tests spend
+# minutes in XLA:CPU compiles of the same megastep/train programs every
+# run (the int8 e2e megastep alone is ~4.5 min on this 1-vCPU host).
+# UNETDC_TPU_COMPILE_CACHE=<dir> reuses them across runs, same opt-in knob
+# as the CLIs (utils/compile_cache.py). Off by default: cache-free runs
+# are the calibration the suite timing claims are based on.
+if os.environ.get("UNETDC_TPU_COMPILE_CACHE"):
+    from unetdc_tpu.utils.compile_cache import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -132,6 +132,39 @@ def test_rolling_ball_true_variant():
     np.testing.assert_allclose(corr, img - ref_bg, atol=1e-3)
 
 
+def test_rolling_ball_skimage_radius50_oracle():
+    """VERDICT r3 item 5 'done' criterion: exactness at a REALISTIC radius
+    (the skimage default regime, algorithms.py:50-57), not just r=4.
+    Oracle: vectorized numpy min/max over all ~7.8k ball taps. Device
+    timing recorded in ops/bitdepth.py docstring (153 ms at r=50 on 512^2
+    TPU v5e — measured r4, not seconds-class, no decomposition needed)."""
+    rng = np.random.RandomState(1)
+    img = (rng.rand(96, 96) * 255).astype(np.float32)
+    radius = 50
+    bg, corr = L.rolling_ball(img, radius)
+
+    d = np.arange(-radius, radius + 1)
+    yy, xx = np.meshgrid(d, d, indexing="ij")
+    s = radius ** 2 - yy ** 2 - xx ** 2
+    taps = np.argwhere(s >= 0)
+    hgt = radius - np.sqrt(s[tuple(taps.T)])
+    offs = taps - radius
+    h, w = img.shape
+    big = 1e30
+    ero = np.full((h, w), big)
+    pad = np.pad(img, radius, constant_values=big)
+    for (dy, dx), k in zip(offs, hgt):
+        ero = np.minimum(ero, pad[radius + dy: radius + dy + h,
+                                  radius + dx: radius + dx + w] + k)
+    ref_bg = np.full((h, w), -big)
+    pad2 = np.pad(ero, radius, constant_values=-big)
+    for (dy, dx), k in zip(offs, hgt):
+        ref_bg = np.maximum(ref_bg, pad2[radius + dy: radius + dy + h,
+                                         radius + dx: radius + dx + w] - k)
+    np.testing.assert_allclose(bg, ref_bg, atol=1e-3)
+    np.testing.assert_allclose(corr, img - ref_bg, atol=1e-3)
+
+
 def test_device_edt_matches_scipy(rng):
     """Exact device EDT (min-plus separable passes) vs scipy, several
     densities and rectangular shapes."""
@@ -167,6 +200,33 @@ def test_device_peak_local_max_matches_host(rng):
     # identical up to f32-vs-f64 intensity comparison noise at plateaus
     assert len(ref_set ^ ours_set) <= max(1, len(ref_set) // 10), \
         (sorted(ref_set), sorted(ours_set))
+
+
+def test_device_peak_local_max_tie_exact_on_plateaued_edt(rng):
+    """VERDICT r3 item 9 'done' criterion: device == host peak SEQUENCES on
+    plateaued EDTs, where equal squared distances tie constantly. The
+    stable device sort must reproduce the host's exact priority order
+    (intensity desc, raster asc), not just the same set."""
+    from unetdc_tpu.ops.edt import (distance_transform_edt_sq,
+                                    peak_local_max_device)
+    from unetdc_tpu.ops.watershed import peak_local_max
+
+    for seed, shape in [(0, (48, 64)), (5, (64, 64)), (9, (40, 96))]:
+        r2 = np.random.RandomState(seed)
+        m = np.zeros(shape, bool)
+        yy, xx = np.mgrid[:shape[0], :shape[1]]
+        for _ in range(12):  # overlapping discs -> wide integer plateaus
+            cy = r2.randint(6, shape[0] - 6)
+            cx = r2.randint(6, shape[1] - 6)
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2.randint(9, 64)
+        d2 = np.asarray(distance_transform_edt_sq(jnp.asarray(m)))
+        assert (d2 == d2.astype(np.int64)).all()  # integer plateaus exist
+        ref = peak_local_max(d2, labels=m, min_distance=3)
+        coords, valid = peak_local_max_device(
+            jnp.asarray(d2, jnp.float32), jnp.asarray(m), 3, 512)
+        ours = np.asarray(coords)[np.asarray(valid)]
+        # exact sequence equality: same peaks, same priority order
+        np.testing.assert_array_equal(ours, ref, err_msg=f"seed {seed}")
 
 
 def test_watershed_custom_splits_touching_blobs():

@@ -231,6 +231,54 @@ def test_trainer_resume(tiny_dataset, tmp_path):
     assert rec["epoch"] == 2 and "val_dice" in rec
 
 
+def test_trainer_resume_from_last_is_exact(tiny_dataset, tmp_path):
+    """VERDICT r3 item 6 'done' criterion: an interrupted + resumed run
+    reproduces the uninterrupted run's epoch metrics EXACTLY. Works because
+    ckpt+'.last'(+.opt) snapshots the trajectory every epoch and per-epoch
+    PRNG keys are stateless (trainer.py seed*1000+epoch) — augmentation ON
+    to pin the stream continuity too. Reference is save-on-best-only
+    (train_DC_focal.py:348-358); ours must resume without rewinding."""
+    import json
+
+    from unetdc_tpu.data.dataset import SegmentationData, discover_pairs
+    from unetdc_tpu.train.trainer import TrainConfig, Trainer
+
+    img_dir, mask_dir = tiny_dataset
+    images, masks = discover_pairs(img_dir, mask_dir)
+    data = SegmentationData(img_dir, mask_dir, images, masks, batch_size=2)
+
+    def run(tag, epochs, resume=False):
+        ckpt = tmp_path / f"{tag}.msgpack"
+        hist = tmp_path / f"{tag}.jsonl"
+        cfg = TrainConfig(num_epochs=epochs, resume=resume,
+                          model="unetdc", loss="focal_dice", patience=50,
+                          batch_size=2, img_size=32, ckpt_path=str(ckpt),
+                          compute_dtype="f32", background_radius=10,
+                          augment=True, history_jsonl=str(hist))
+        import io
+        import contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            Trainer(cfg).fit(data, data)
+        return hist, buf.getvalue()
+
+    hist_full, _ = run("full", 3)
+    hist_part, _ = run("part", 2)
+    # resume the interrupted run: same ckpt/jsonl tag, 3 total epochs
+    _, out = run("part", 3, resume=True)
+    assert "Resumed from" in out and ".last" in out
+    assert "NOTE" not in out  # resumed the LAST epoch, no rewind warning
+
+    full = [json.loads(l) for l in hist_full.read_text().splitlines()]
+    part = [json.loads(l) for l in hist_part.read_text().splitlines()]
+    assert len(full) == 3 and len(part) == 3
+    for a, b in zip(full, part):
+        for k in ("epoch", "train_loss", "val_loss", "train_dice",
+                  "val_dice", "train_acc", "val_acc"):
+            assert a[k] == b[k], (k, a, b)
+
+
 def test_contour_shrinking_box_matches_reference(rng):
     """Direct numpy port of algorithms.py:316-352 as oracle."""
     from scipy import ndimage as ndi

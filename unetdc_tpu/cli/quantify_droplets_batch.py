@@ -45,9 +45,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-image component capacity of the droplet tables")
     p.add_argument("--int8", action="store_true",
                    help="quantized forward on the MXU's double-rate int8 "
-                        "path (activation scales calibrated on the first "
-                        "batch; ~0.4%% per-tensor quantization error — "
-                        "masks may differ marginally from --precision f32)")
+                        "path (~0.4%% per-tensor quantization error — masks "
+                        "may differ marginally from --precision f32). "
+                        "Activation scales load from the --int8_calib "
+                        "sidecar when it exists; otherwise they are "
+                        "calibrated on the first images in sorted filename "
+                        "order and saved there, so reruns are "
+                        "deterministic regardless of dataset order")
+    p.add_argument("--int8_calib", default="auto", metavar="PATH",
+                   help="int8 calibration sidecar (.npz). 'auto' (default) "
+                        "= <ckpt_path>.int8calib.npz; 'none' disables "
+                        "persistence (scales recalibrated each run)")
     return p
 
 
@@ -73,10 +81,15 @@ def main(argv=None):
     from unetdc_tpu.utils.profiling import profile_trace
 
     mesh = make_mesh(args.data_parallel) if args.data_parallel else None
+    calib_path = None
+    if args.int8 and args.int8_calib != "none":
+        calib_path = (args.ckpt_path + ".int8calib.npz"
+                      if args.int8_calib == "auto" else args.int8_calib)
     engine = load_engine(args.ckpt_path, mesh=mesh,
                          fast=(args.precision == "bf16"),
                          max_labels=args.max_labels,
-                         quantize="int8" if args.int8 else None)
+                         quantize="int8" if args.int8 else None,
+                         calib_path=calib_path)
     pipe = BatchQuantifyPipeline(
         engine, args.out_dir, batch=args.batch, prob_thresh=args.prob_thresh,
         min_area=args.min_area, px_per_micron=args.px_per_micron,

@@ -220,13 +220,15 @@ def fold_batchnorm(variables) -> dict:
     each block into conv+bias+relu.
     """
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
-    stats = variables["batch_stats"]
+    stats = variables.get("batch_stats", {})
     eps = 1e-5
     for block, sub in params.items():
         if not isinstance(sub, dict) or "conv0" not in sub:
             continue
         for i in (0, 1):
             conv = sub[f"conv{i}"]
+            if f"bn{i}" not in sub:  # already-folded params: idempotent
+                continue
             bn = sub.pop(f"bn{i}")
             st = stats[block][f"bn{i}"]
             scale = bn["scale"] / jnp.sqrt(st["var"] + eps)

@@ -35,8 +35,17 @@ Scheme — standard symmetric post-training quantization:
 This path is NOT bit-parity with the reference (quantization error ~0.4%
 of each tensor's range); it is an opt-in speed mode
 (``QuantifyEngine(quantize="int8")`` / ``--int8`` on the batch CLI) with
-mask-agreement guarantees pinned by tests/test_int8.py. The f32/bf16 paths
-remain the parity defaults.
+mask-agreement guarantees pinned by tests/test_int8.py (the MEASURED
+envelope on the worst-case random checkpoint — see the e2e test's
+docstring). The f32/bf16 paths remain the parity defaults.
+
+Why activation scales are per-TENSOR, not per-channel (r4 negative
+result, ROUND4.md): per-channel scales fold for free at inference (the
+requant multiplier is already a per-out-channel vector), and a faithful
+fake-quant A/B measured them cutting probability error p99 0.125->0.082 —
+but mask agreement was FLAT (0.9339->0.9330) because disagreements are
+concentrated where |p - thresh| is small, which finer scales don't fix.
+Per-tensor keeps the sidecar layout trivial for identical masks.
 
 Reference behavior parity target: models/model_2.py:5-80 (architecture);
 the reference has no quantized path — this is TPU-specific execution of
@@ -121,6 +130,35 @@ def forward_calib(fp: Dict[str, Any], x: jax.Array,
     out = uf._unpair(out + fp["out_conv"]["b"]).astype(jnp.float32)
     maxima = jnp.stack([rec[t] for t in TAGS])
     return jax.nn.sigmoid(out), maxima
+
+
+# ---------------------------------------------------------------------------
+# Calibration persistence (sidecar .npz next to the checkpoint)
+# ---------------------------------------------------------------------------
+def save_calibration(path, maxima: np.ndarray) -> None:
+    """Persist the per-tag activation maxima so later runs reproduce the
+    SAME int8 params regardless of dataset order (the reference's
+    determinism contract: same input -> same CSV,
+    quantify_droplets_batch.py end-to-end)."""
+    m = np.asarray(maxima, np.float32)
+    if m.shape != (len(TAGS),):
+        raise ValueError(f"expected {len(TAGS)} maxima, got {m.shape}")
+    np.savez(path, maxima=m, tags=np.array(TAGS))
+
+
+def load_calibration(path) -> np.ndarray:
+    """Load + validate a `save_calibration` sidecar -> (len(TAGS),) f32."""
+    with np.load(path, allow_pickle=False) as z:
+        tags = tuple(str(t) for t in z["tags"])
+        m = np.asarray(z["maxima"], np.float32)
+    if tags != TAGS:
+        raise ValueError(
+            f"calibration sidecar {path} was written for a different "
+            f"quantization-point layout ({len(tags)} tags vs {len(TAGS)}); "
+            "delete it to recalibrate")
+    if m.shape != (len(TAGS),) or not np.all(np.isfinite(m)) or m.min() < 0:
+        raise ValueError(f"calibration sidecar {path} is corrupt: {m!r}")
+    return m
 
 
 # ---------------------------------------------------------------------------

@@ -137,11 +137,14 @@ def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
     image>0, then intensity-ordered greedy suppression at min_distance.
 
     Returns (coords (max_peaks, 2) int32, valid (max_peaks,) bool). The
-    candidate set is capped at `max_peaks` via top_k (raise it for images
-    with more maxima). Tie-breaking among EQUAL intensities is near-raster
-    order but not exact (single f32 priority key) — the host
-    ops.watershed.peak_local_max remains the exact-parity implementation;
-    this is the fast path for distinct-valued images.
+    candidate set is capped at `max_peaks` (raise it for images with more
+    maxima). Priority order is EXACT host parity — intensity descending
+    with ties in raster order, via a STABLE device sort over the
+    raster-indexed candidates (the host ops.watershed.peak_local_max:57
+    does `argsort(-intensity, kind="stable")` over argwhere's raster
+    coords) — so device == host peak sets even on plateaued integer EDTs,
+    where equal-intensity ties are the common case (VERDICT r3 item 9;
+    the old single-f32 packed key was only near-raster on ties).
     """
     h, w = image.shape
     size = 2 * min_distance + 1
@@ -153,12 +156,14 @@ def peak_local_max_device(image: jax.Array, labels_mask: jax.Array,
         padding=((min_distance, min_distance), (min_distance, min_distance)))
     cand = (img == maxf) & (labels_mask > 0) & (img > 0)
 
-    # order: intensity desc, raster asc among ties — encode into one key
-    flat_idx = jnp.arange(h * w, dtype=jnp.float32)
-    key = jnp.where(cand.reshape(-1), img.reshape(-1) * (h * w + 1.0)
-                    - flat_idx, neg_inf)
-    topv, topi = jax.lax.top_k(key, max_peaks)
-    ok = topv > neg_inf / 2
+    # intensity desc, raster asc among EXACT ties: stable ascending sort on
+    # (-intensity) carries the raster flat index through tie groups
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32)
+    primary = jnp.where(cand.reshape(-1), -img.reshape(-1), -neg_inf)
+    sorted_key, sorted_idx = jax.lax.sort((primary, flat_idx),
+                                          num_keys=1, is_stable=True)
+    topi = sorted_idx[:max_peaks]
+    ok = sorted_key[:max_peaks] < -neg_inf / 2
     ys = (topi // w).astype(jnp.int32)
     xs = (topi % w).astype(jnp.int32)
 

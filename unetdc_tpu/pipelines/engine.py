@@ -34,6 +34,28 @@ from unetdc_tpu.ops.rolling_ball import rolling_ball_correction_rgb
 from unetdc_tpu.core.mesh import batch_sharding
 
 
+def grayscale_view(imgs_u8: np.ndarray):
+    """Return a (B,H,W) single-channel view when every pixel of the
+    (B,H,W,3) batch has all channels equal, else the input unchanged.
+
+    Host-side half of the grayscale upload fast path: microscopy sources
+    are typically grayscale saved as RGB (measured true of the reference's
+    own committed data — see QuantifyEngine._preprocess), and the
+    host->device link is the e2e bottleneck, so uploading one channel is a
+    3x cut of the dominant cost. The equality check streams ~2 bytes/pixel
+    of numpy compare (~10 ms per 6 MB batch on this host) and runs inside
+    the pipeline's dispatch thread, so it overlaps the link anyway.
+    Exactness: the engine broadcasts the channel back to 3 on device before
+    the model, so results are bit-identical to the RGB upload."""
+    if imgs_u8.ndim != 4 or imgs_u8.shape[-1] != 3:
+        return imgs_u8
+    c0 = imgs_u8[..., 0]
+    if np.array_equal(c0, imgs_u8[..., 1]) and \
+            np.array_equal(c0, imgs_u8[..., 2]):
+        return np.ascontiguousarray(c0)
+    return imgs_u8
+
+
 class QuantifyEngine:
     """Batch segmentation + quantification on TPU.
 
@@ -53,7 +75,7 @@ class QuantifyEngine:
     def __init__(self, variables, model_cls=UNetDC, img_size: int = 512,
                  compute_dtype: Any = jnp.bfloat16, max_labels: int = 4096,
                  mesh=None, shard_space: bool = False,
-                 quantize: str | None = None):
+                 quantize: str | None = None, calib_path=None):
         """`shard_space` additionally splits the image height over the
         mesh's 'space' axis (XLA inserts conv halo exchanges and scan
         collectives automatically) — the scaling axis for images larger
@@ -61,8 +83,12 @@ class QuantifyEngine:
 
         `quantize="int8"` selects the post-training-quantized forward
         (models/unet_int8.py; MXU double-rate int8 path): activation scales
-        are calibrated on the FIRST batch this engine sees, then every
-        batch runs the int8 megastep. Not bit-parity — an opt-in speed
+        come from `calib_path` (a `unet_int8.save_calibration` sidecar) when
+        that file exists, from an explicit `calibrate_int8(...)` call, or —
+        fallback — from the FIRST batch this engine sees. When calibration
+        runs and `calib_path` is set, the scales are saved there, so every
+        later run over the same checkpoint produces identical masks
+        regardless of dataset order. Not bit-parity — an opt-in speed
         mode; see the module docstring for the guarantees."""
         self.shard_space = shard_space
         self.model = model_cls(use_bn=False, dtype=compute_dtype)
@@ -91,13 +117,24 @@ class QuantifyEngine:
             want = jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
         self._use_fast = (quantize is None and want
                           and self._dilations[0] == 1 and img_size % 2 == 0)
+        self.calib_path = calib_path
+        self.calib_maxima = None  # (len(TAGS),) f32 once calibrated
         if quantize == "int8":
             # params materialize lazily at first dispatch (calibration
-            # needs a representative batch); keep the folded f32 weights
+            # needs a representative batch) unless a calibration sidecar
+            # already pins the scales; keep the folded f32 weights
             # host-side for the calibration forward + quantizer.
             self._folded_np = jax.tree_util.tree_map(
                 np.asarray, folded["params"])
             self.params = None
+            self._calib_fp32 = None
+            self._calib_jit = jax.jit(
+                self._calib_impl,
+                static_argnames=("preprocessed", "background_radius",
+                                 "apply_bg"))
+            if calib_path is not None and os.path.exists(calib_path):
+                from unetdc_tpu.models import unet_int8 as qi
+                self._finalize_int8(qi.load_calibration(calib_path))
         elif self._use_fast:
             from unetdc_tpu.models.unet_fast import build_fast_params
             self.params = build_fast_params(folded["params"],
@@ -127,8 +164,21 @@ class QuantifyEngine:
         return self.model.apply(params, x, train=False)
 
     def _preprocess(self, imgs_u8, background_radius: int, apply_bg: bool):
-        """Jittable (B,H,W,3) uint8 -> (B,S,S,3) f32 in [0,1]."""
+        """Jittable (B,H,W,3) uint8 -> (B,S,S,3) f32 in [0,1].
+
+        Also accepts (B,H,W) GRAYSCALE uint8 — the channel is preprocessed
+        ONCE and broadcast to 3 at the end. Bit-exact vs uploading the
+        replicated (B,H,W,3): rolling ball (NORM_MINMAX is per channel,
+        rolling_ball.py:47-52), resize, and /255 are all channel-
+        independent, so equal channels in => equal channels out. This is
+        the device half of the grayscale upload fast path: the axon relay
+        link (~25 MB/s both ways) is the e2e wall, and the reference's
+        microscopy data is exactly grayscale stored as RGB (every
+        non-annotation pixel of /root/reference/outputs/overlays/*.png has
+        all three channels equal), so uploading one channel cuts the
+        dominant cost 3x — and saves 3x the preprocess compute."""
         size = self.img_size
+        gray = imgs_u8.ndim == 3
 
         def preprocess(img):
             if apply_bg:
@@ -140,33 +190,71 @@ class QuantifyEngine:
                 in_axes=-1, out_axes=-1)(img)
             return x.astype(jnp.float32) / 255.0
 
-        return jax.vmap(preprocess)(imgs_u8).astype(jnp.float32)
+        x = jax.vmap(preprocess)(
+            imgs_u8[..., None] if gray else imgs_u8).astype(jnp.float32)
+        if gray:
+            x = jnp.broadcast_to(x, (*x.shape[:-1], 3))
+        return x
 
-    def _calibrate_int8(self, arr, *, preprocessed: bool = False,
-                        background_radius: int = 50, apply_bg: bool = True):
-        """Build the int8 params from ONE representative batch (runs once).
-
-        Runs the exact f32 fast forward (`unet_int8.forward_calib`) over the
-        batch, fetches the 23 activation maxima as one vector, quantizes on
-        the host (`build_int8_params`), and uploads the int8 pytree. The
-        calibration program compiles separately from the megastep; both hit
-        the persistent compile cache on later runs."""
-        from unetdc_tpu.models.unet_fast import build_fast_params
+    def _calib_impl(self, fp, a, preprocessed: bool,
+                    background_radius: int, apply_bg: bool):
+        """Jittable: exact f32 fast forward -> per-tag activation maxima
+        vector (unet_int8.forward_calib; one device fetch per batch)."""
         from unetdc_tpu.models import unet_int8 as qi
 
-        fp32 = build_fast_params(self._folded_np, dtype=jnp.float32)
+        x = a if preprocessed else self._preprocess(
+            a, background_radius, apply_bg)
+        return qi.forward_calib(fp, x, self._dilations)[1]
 
-        def calib(fp, a):
-            x = a if preprocessed else self._preprocess(
-                a, background_radius, apply_bg)
-            return qi.forward_calib(fp, x, self._dilations)[1]
+    def _finalize_int8(self, maxima: np.ndarray):
+        """Quantize on the host from per-tag maxima + upload the int8
+        pytree. Records `calib_maxima` so callers can persist the scales."""
+        from unetdc_tpu.models import unet_int8 as qi
 
-        maxima = np.asarray(jax.jit(calib)(fp32, arr))
+        maxima = np.asarray(maxima, np.float32)
         qp = qi.build_int8_params(self._folded_np, maxima, self._dilations)
         self.params = jax.tree_util.tree_map(jnp.asarray, qp)
         if self.mesh is not None:
             from unetdc_tpu.core.mesh import replicate
             self.params = replicate(self.mesh, self.params)
+        self.calib_maxima = maxima
+
+    def calibrate_int8(self, batches, *, preprocessed: bool = False,
+                       background_radius: int = 50, apply_bg: bool = True,
+                       save: bool = True):
+        """Calibrate the int8 activation scales from one or more batches.
+
+        `batches`: a (B,H,W,3) uint8 array (or preprocessed f32 with
+        `preprocessed=True`), or a list of them — per-tag maxima accumulate
+        elementwise across batches, so calibrating over K batches guards
+        against an unrepresentative first batch (a dark batch would
+        otherwise make later activations clip at 127). Same-shape batches
+        reuse one compiled calibration program. When `save` and the engine
+        has a `calib_path`, the maxima are persisted there so later runs
+        are input-order-independent."""
+        from unetdc_tpu.models.unet_fast import build_fast_params
+        from unetdc_tpu.models import unet_int8 as qi
+
+        if self.quantize != "int8":
+            raise ValueError("calibrate_int8 requires quantize='int8'")
+        if self._calib_fp32 is None:
+            self._calib_fp32 = build_fast_params(self._folded_np,
+                                                 dtype=jnp.float32)
+        if hasattr(batches, "shape"):
+            batches = [batches]
+        mx = None
+        for a in batches:
+            m = np.asarray(self._calib_jit(
+                self._calib_fp32, jnp.asarray(a), preprocessed=preprocessed,
+                background_radius=int(background_radius),
+                apply_bg=bool(apply_bg)))
+            mx = m if mx is None else np.maximum(mx, m)
+        if mx is None:
+            raise ValueError("calibrate_int8 needs at least one batch")
+        self._finalize_int8(mx)
+        self._calib_fp32 = None  # free the f32 copy
+        if save and self.calib_path is not None:
+            qi.save_calibration(self.calib_path, mx)
 
     # ------------------------------------------------------------------
     def _megastep_impl(self, params, imgs_u8: jax.Array, thresh: jax.Array,
@@ -255,7 +343,13 @@ class QuantifyEngine:
                        background_radius: int = 50, apply_bg: bool = True):
         """Asynchronously enqueue one megastep; returns device arrays.
         JAX dispatch is async, so callers can enqueue batch k+1 before
-        fetching batch k — overlapping device compute with host IO."""
+        fetching batch k — overlapping device compute with host IO.
+
+        `imgs_u8` is (B,H,W,3) RGB or (B,H,W) grayscale uint8 — the
+        grayscale form uploads 3x fewer bytes over the relay link (the e2e
+        bottleneck) with bit-identical results; use `grayscale_view` to
+        downcast channel-equal batches automatically. Each form compiles
+        its own megastep once (shape-keyed jit cache)."""
         from unetdc_tpu.utils.profiling import stage_timer
 
         with stage_timer("h2d_upload"):
@@ -265,8 +359,10 @@ class QuantifyEngine:
             x = jax.device_put(
                 x, batch_sharding(self.mesh, x.ndim, space_dim=space_dim))
         if self.quantize == "int8" and self.params is None:
-            self._calibrate_int8(x, background_radius=int(background_radius),
-                                 apply_bg=bool(apply_bg))
+            # fallback: calibrate on the first batch seen (order-dependent;
+            # pipelines calibrate explicitly on a canonical sorted subset)
+            self.calibrate_int8(x, background_radius=int(background_radius),
+                                apply_bg=bool(apply_bg))
         packed = self._megastep(
             self.params, x, jnp.float32(prob_thresh), jnp.int32(min_area),
             tuple(out_hw), int(background_radius), bool(apply_bg))
@@ -355,7 +451,8 @@ class QuantifyEngine:
                   prob_thresh: float = 0.3, min_area: int = 1,
                   background_radius: int = 50, apply_bg: bool = True
                   ) -> Dict[str, np.ndarray]:
-        """Synchronous host entry: uint8 (B, H, W, 3) -> numpy results."""
+        """Synchronous host entry: uint8 (B,H,W,3) RGB or (B,H,W)
+        grayscale -> numpy results (bit-identical either way)."""
         out = self.dispatch_batch(imgs_u8, out_hw, prob_thresh, min_area,
                                   background_radius, apply_bg)
         return self.fetch_batch(out, out_hw)
@@ -365,16 +462,18 @@ class QuantifyEngine:
         """Plain jitted forward on preprocessed (B, S, S, 3) in [0,1] —
         used by benchmarks and the library API."""
         if self.quantize == "int8" and self.params is None:
-            self._calibrate_int8(x_f32, preprocessed=True)
+            self.calibrate_int8(x_f32, preprocessed=True)
         return self._forward(self.params, x_f32)
 
 
 def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
                 model_cls=UNetDC, max_labels: int = 4096,
-                quantize: str | None = None) -> QuantifyEngine:
+                quantize: str | None = None,
+                calib_path=None) -> QuantifyEngine:
     """Build an engine from a reference .pth or native msgpack checkpoint.
     `fast` selects the bf16 dtype policy (core.dtypes.default_policy);
-    `quantize="int8"` the calibrated int8 forward (models/unet_int8.py)."""
+    `quantize="int8"` the calibrated int8 forward (models/unet_int8.py),
+    with scales loaded from / persisted to the `calib_path` sidecar."""
     from unetdc_tpu.checkpoint import (
         load_pth_state_dict, torch_state_dict_to_variables, load_checkpoint)
     from unetdc_tpu.core.dtypes import default_policy
@@ -387,4 +486,5 @@ def load_engine(ckpt_path: str, mesh=None, fast: bool = True,
     return QuantifyEngine(
         variables, model_cls=model_cls,
         compute_dtype=default_policy(fast).compute_dtype,
-        max_labels=max_labels, mesh=mesh, quantize=quantize)
+        max_labels=max_labels, mesh=mesh, quantize=quantize,
+        calib_path=calib_path)

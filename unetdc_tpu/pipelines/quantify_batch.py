@@ -156,9 +156,15 @@ class BatchQuantifyPipeline:
         batch_imgs = list(imgs)
 
         def _dispatch():
+            from unetdc_tpu.pipelines.engine import grayscale_view
+
+            # channel-equal batches (typical microscopy: grayscale saved as
+            # RGB) upload ONE channel — 3x fewer bytes over the relay link,
+            # the pipeline's bottleneck; bit-identical results. The check
+            # runs here, in the dispatch thread, overlapping the link.
             return self.engine.dispatch_batch(
-                np.stack(batch_imgs), size_hw, self.prob_thresh,
-                self.min_area, self.background_radius)
+                grayscale_view(np.stack(batch_imgs)), size_hw,
+                self.prob_thresh, self.min_area, self.background_radius)
 
         self._inflight.append((self._dispatcher.submit(_dispatch),
                                list(paths), n_valid, size_hw, rgbs))
@@ -241,10 +247,38 @@ class BatchQuantifyPipeline:
                         draw_overlay(np.ascontiguousarray(bgr), mask))
 
     # --------------------------------------------------------------
+    def _maybe_calibrate(self, paths: List[Path]):
+        """Int8 engines calibrate on a CANONICAL subset — the first
+        `batch` images (sorted filename order) that share the first
+        image's size — not on whatever batch happens to be dispatched
+        first. This makes the activation scales (hence every mask)
+        independent of dataset traversal order, and accumulating maxima
+        over several images guards against one unrepresentative image
+        setting the scales (ADVICE r3). No-op when a calibration sidecar
+        already pinned the scales at engine construction."""
+        eng = self.engine
+        if getattr(eng, "quantize", None) != "int8" or eng.params is not None:
+            return
+        imgs, size = [], None
+        for p in paths:
+            arr = decode_rgb(p)
+            if size is None:
+                size = arr.shape[:2]
+            if arr.shape[:2] != size:
+                continue
+            imgs.append(arr)
+            if len(imgs) == self.batch:
+                break
+        if imgs:
+            eng.calibrate_int8(np.stack(imgs),
+                               background_radius=self.background_radius)
+
+    # --------------------------------------------------------------
     def run(self, img_dir: str, progress: bool = True):
         from unetdc_tpu.data.dataset import Prefetcher
 
         images = list_images(img_dir)
+        self._maybe_calibrate(images)
         if progress:
             try:
                 from tqdm import tqdm

@@ -70,6 +70,9 @@ class TrainConfig:
     compute_dtype: str = "bf16"
     augment: bool = True
     resume: bool = False                # resume from ckpt_path if it exists
+    # write ckpt_path+'.last'(+.opt) every epoch so --resume continues the
+    # exact trajectory; False reverts to best-only (reference semantics)
+    save_last: bool = True
     remat: bool = False                 # activation checkpointing
     history_jsonl: Optional[str] = None  # structured per-epoch metrics log
     # additionally shard the image height over the mesh's 'space' axis
@@ -536,18 +539,29 @@ class Trainer:
         plateau_best = float("inf")
         plateau_count = 0
         start_epoch = 0
-        if cfg.resume and os.path.exists(cfg.ckpt_path):
+        if cfg.resume and (os.path.exists(cfg.ckpt_path)
+                           or os.path.exists(cfg.ckpt_path + ".last")):
             from unetdc_tpu.checkpoint.native import (load_checkpoint,
                                                       load_metadata)
             from flax import serialization
 
-            self.variables = load_checkpoint(cfg.ckpt_path)
-            opt_path = cfg.ckpt_path + ".opt"
+            # Prefer the LAST-epoch checkpoint (saved every epoch alongside
+            # best): resuming from it reproduces the uninterrupted run
+            # exactly — per-epoch PRNG keys are stateless (seed*1000+epoch)
+            # and the Adam moments continue from where they stopped. The
+            # best-only fallback (reference semantics,
+            # train_DC_focal.py:348-358 saves only on improvement) rewinds
+            # the trajectory to the best epoch and says so.
+            last_path = cfg.ckpt_path + ".last"
+            from_last = os.path.exists(last_path)
+            src = last_path if from_last else cfg.ckpt_path
+            self.variables = load_checkpoint(src)
+            opt_path = src + ".opt"
             if os.path.exists(opt_path):
                 with open(opt_path, "rb") as f:
                     self.opt_state = serialization.from_bytes(
                         self.opt_state, f.read())
-            meta = load_metadata(cfg.ckpt_path) or {}
+            meta = load_metadata(src) or {}
             state_path = cfg.ckpt_path + ".state.json"
             if os.path.exists(state_path):
                 import json
@@ -563,9 +577,11 @@ class Trainer:
             else:  # older checkpoints: best-epoch metadata only
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 gate.best = float(meta.get("best_metric", 0.0))
-            print(f"Resumed from {cfg.ckpt_path} at epoch {start_epoch} "
-                  f"(best val dice {(gate.best or 0.0):.4f}). NOTE: weights "
-                  "restored are the BEST checkpoint, not the last epoch's.")
+            note = ("" if from_last else
+                    " NOTE: weights restored are the BEST checkpoint, not "
+                    "the last epoch's.")
+            print(f"Resumed from {src} at epoch {start_epoch} "
+                  f"(best val dice {(gate.best or 0.0):.4f}).{note}")
         for epoch in range(start_epoch, cfg.num_epochs):
             t0 = time.time()
             tr_loss, tr_dice, tr_acc = self.run_epoch_train(train_data, epoch)
@@ -628,6 +644,17 @@ class Trainer:
                 print("Model saved!")
             import json
 
+            if cfg.save_last:
+                # last-epoch weights + optimizer, refreshed EVERY epoch, so
+                # --resume continues the exact trajectory (the best-only
+                # save would silently rewind it to the best epoch)
+                from flax import serialization
+
+                save_checkpoint(cfg.ckpt_path + ".last", self.variables,
+                                {"epoch": epoch, "val_dice": va_dice})
+                with open(cfg.ckpt_path + ".last.opt", "wb") as f:
+                    f.write(serialization.to_bytes(
+                        jax.tree_util.tree_map(np.asarray, self.opt_state)))
             with open(cfg.ckpt_path + ".state.json", "w") as f:
                 json.dump({"last_epoch": epoch,
                            "best_metric": gate.best,
