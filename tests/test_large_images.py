@@ -217,3 +217,61 @@ def test_quantify_4096_exact_vs_scipy():
         stats["area"][0][:n0].astype(np.int64), areas)
     np.testing.assert_array_equal(_sums(stats, 0, n0), ys)
     np.testing.assert_array_equal(_sums(stats, 1, n0), xs)
+
+
+def test_table_kernel_supported_domain():
+    """The kernel's supported-and-exact predicate: whole-row chunks
+    through MAX_CHUNK lanes, scatter beyond (f32 per-dot bound + VMEM)."""
+    from unetdc_tpu.ops.pallas_props import MAX_CHUNK, table_kernel_is_exact
+
+    assert table_kernel_is_exact(512, 512, 8)      # chunk 4096 (8 rows)
+    assert table_kernel_is_exact(4096, 4096, 7)    # the 4096^2 plan
+    assert table_kernel_is_exact(16, MAX_CHUNK, 8)  # widest supported row
+    assert not table_kernel_is_exact(16, MAX_CHUNK + 8, 8)
+    assert not table_kernel_is_exact(512, 16384, 8)  # reviewer case
+    assert not table_kernel_is_exact(1, 131072, 8)
+
+
+def test_table_kernel_exact_at_max_chunk_dense_component():
+    """Interpret-mode kernel at the WIDEST supported chunk (one 8192-px
+    row per sub-chunk) with a near-solid giant component: per-super-chunk
+    coordinate-chunk sums reach ~8.3M — exact only because sub-chunk dot
+    results accumulate in int32 (the old f32 accumulation's 2^24 headroom
+    was 0.4% here and negative for any wider row)."""
+    from unetdc_tpu.ops.pallas_props import (component_tables,
+                                             component_tables_reference)
+
+    r = np.random.RandomState(3)
+    lab = np.ones((1, 16, 8192), np.int32)
+    holes = r.rand(16, 8192) < 0.001
+    lab[0][holes] = 0                    # odd, irregular per-chunk sums
+    lab[0, 4:6, 100:5000] = 7            # a second wide label
+    got = np.asarray(component_tables(jnp.asarray(lab), shifts=(0, 8),
+                                      bits=8, interpret=True))
+    ref = np.asarray(component_tables_reference(jnp.asarray(lab),
+                                                shifts=(0, 8), bits=8))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_quantify_wider_than_max_chunk_falls_back_exact():
+    """Images whose single row exceeds MAX_CHUNK lanes silently take the
+    scatter path (even when the table path is explicitly requested) and
+    stay exact vs scipy; the kernel itself refuses the shape loudly."""
+    from unetdc_tpu.ops.pallas_props import component_tables
+
+    r = np.random.RandomState(5)
+    m = np.zeros((40, 20000), np.uint8)
+    m[2:30, 50:19900] = 1                        # one 557k-px component
+    m[r.rand(40, 20000) < 0.0015] = 1            # speckle
+    ref, n0 = ndi.label(m, structure=STRUCT_4)
+    stats = jax.tree_util.tree_map(np.asarray, quantify_mask_batch(
+        jnp.asarray(m[None]), jnp.int32(1), 2048, impl="interp"))
+    assert int(stats["count"][0]) == n0
+    areas, ys, xs = _scipy_tables(m, n0)
+    np.testing.assert_array_equal(
+        stats["area"][0][:n0].astype(np.int64), areas)
+    np.testing.assert_array_equal(_sums(stats, 0, n0), ys)
+    np.testing.assert_array_equal(_sums(stats, 1, n0), xs)
+    with pytest.raises(ValueError, match="exactness bound"):
+        component_tables(jnp.zeros((1, 40, 20000), jnp.int32),
+                         shifts=(0, 8), bits=8, interpret=True)

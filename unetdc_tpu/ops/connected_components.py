@@ -570,6 +570,14 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
     if impl is None:
         impl = _props_impl(max_labels)
     if impl in ("pallas", "interp"):
+        from unetdc_tpu.ops.pallas_props import table_kernel_is_exact
+
+        _, _kb = _coord_plan(h, w, force_split=True)
+        if not table_kernel_is_exact(h, w, _kb):
+            # extreme aspect ratio (single row wider than the f32 per-dot
+            # exactness bound): the portable scatter path stays exact
+            impl = "scatter"
+    if impl in ("pallas", "interp"):
         from unetdc_tpu.ops.pallas_props import component_tables
 
         is_root = fg & (roots == idx)

@@ -23,8 +23,11 @@ exactness; CAP grows to 5120 slots as a side effect.
 Exactness (integer results, no rounding):
   - one-hots and feature payloads (each <= 255: count bit, coordinate
     chunks of at most 8 bits) are exact in bf16;
-  - each chunk's f32 MXU accumulation sums <= 255 * 8192 < 2^24 (exact);
-  - chunks accumulate into the int32 output block (revisited across grid
+  - each sub-chunk's f32 MXU dot sums <= (2^bits - 1) * chunk, exact while
+    that bound is < 2^24 (`table_kernel_is_exact`; quantify falls back to
+    the scatter path for the extreme-aspect shapes that violate it);
+  - sub-chunks and chunks accumulate in int32 (the SUB=8 per-super-chunk
+    results and the revisited output block across grid
     steps), bounded by (2^bits - 1) * n_pixels < 2^31 — guaranteed by the
     caller's `_coord_plan` (ops.connected_components), which narrows the
     chunk width below 8 bits for images past ~8.4M pixels.
@@ -56,14 +59,44 @@ NFEAT = 5  # feature count of the default byte-split plan
 SUB = 8  # sub-chunks per grid step (Mosaic: 2nd-to-last block dim % 8 == 0)
 
 
+def _chunk_for(w: int) -> int:
+    """Lane-dimension chunk the kernel will use for image width `w`:
+    whole rows, as many as fit ~4096 lanes (one row for wider images)."""
+    return max(1, 4096 // w) * w
+
+
+MAX_CHUNK = 8192
+"""Widest supported lane chunk. Two bounds meet here: (a) every
+per-sub-chunk VMEM buffer (bf16 one-hots, feature rows, int32 iotas —
+the largest is the (LO, chunk) int32 iota at 4 * 128 * chunk bytes) stays
+comfortably inside the 16 MB default scoped VMEM; (b) with bits <= 8 the
+f32 per-dot exactness bound (2^bits - 1) * chunk < 2^24 holds with 8x
+margin. Images wider than one row of this (w > 8192) take the scatter
+path instead — exact at any size, just not MXU-accelerated."""
+
+
+def table_kernel_is_exact(h: int, w: int, bits: int) -> bool:
+    """True iff this (shape, plan) is inside the kernel's supported-and-
+    exact domain: chunk <= MAX_CHUNK and each label's per-dot f32 sum
+    (<= (2^bits - 1) * chunk) below 2^24. quantify falls back to the
+    portable scatter path when this is False (single rows wider than
+    MAX_CHUNK lanes)."""
+    chunk = _chunk_for(w)
+    return chunk <= MAX_CHUNK and ((1 << bits) - 1) * chunk < (1 << 24)
+
+
 def _props_kernel(h0_ref, w_ref, lab_ref, out_ref, *, shifts, bits):
     """Grid (B, n_super). lab block: (1, SUB, chunk) int32 labels, flattened
     row-major; out block: (1, nfeat * HI, LO) int32, revisited across the
     super-chunk dimension. h0/w live whole in SMEM (rank-1 SMEM blocks
     cannot be per-step sliced by the Mosaic lowering).
 
-    The SUB sub-chunk results accumulate in f32 before one int32 convert —
-    exact, since sums <= 255 * SUB * chunk <= 16.7M < 2^24."""
+    Each sub-chunk's MXU dot accumulates in f32 — exact iff its largest
+    per-label partial sum (2^bits - 1) * chunk stays < 2^24 (see
+    `table_kernel_is_exact`; callers fall back to scatter otherwise). The
+    SUB per-sub-chunk results are accumulated in int32, NOT f32: a solid
+    component spanning a whole super-chunk of a wide image can sum past
+    2^24 (e.g. 255 * 8 * 16384 = 33.4M), where f32 addition rounds."""
     chunk = lab_ref.shape[-1]
     nfeat = 1 + 2 * len(shifts)
     m = (1 << bits) - 1
@@ -98,11 +131,10 @@ def _props_kernel(h0_ref, w_ref, lab_ref, out_ref, *, shifts, bits):
             a, oh_lo,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # (nfeat*HI, LO)
+        ).astype(jnp.int32)                                # (nfeat*HI, LO)
 
-    acc = jax.lax.fori_loop(
-        0, SUB, body, jnp.zeros((nfeat * HI, LO), jnp.float32))
-    tab = acc.astype(jnp.int32)
+    tab = jax.lax.fori_loop(
+        0, SUB, body, jnp.zeros((nfeat * HI, LO), jnp.int32))
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -127,6 +159,10 @@ def component_tables(labels: jax.Array, shifts=(0, 8), bits: int = 8,
     # chunk = k rows, flattened to the lane dimension OUTSIDE the kernel
     # (in-kernel sublane->lane reshapes are Mosaic-hostile); SUB chunks per
     # grid step satisfy the (8, 128) block-divisibility rule
+    if not table_kernel_is_exact(h, w, bits):
+        raise ValueError(
+            f"component_tables: plan bits={bits} width={w} exceeds the "
+            "f32 per-dot exactness bound (use the scatter path)")
     k = max(1, 4096 // w)
     n_super = -(-h // (k * SUB))
     pad = n_super * k * SUB - h

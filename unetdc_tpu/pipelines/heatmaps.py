@@ -72,9 +72,12 @@ class HeatmapV1Engine(QuantifyEngine):
     _want_presieve = True
 
     def _megastep_impl(self, params, imgs_u8, thresh, min_area, out_hw,
-                       background_radius, apply_bg):
+                       background_radius, apply_bg, max_labels=None):
+        if max_labels is None:
+            max_labels = self.max_labels
         out = super()._megastep_impl(params, imgs_u8, thresh, min_area,
-                                     out_hw, background_radius, apply_bg)
+                                     out_hw, background_radius, apply_bg,
+                                     max_labels)
         oh, ow = out_hw
         masks = jax.vmap(lambda p: jnp.unpackbits(p)[:oh * ow].reshape(
             oh, ow))(out["mask_bits"])
@@ -85,7 +88,9 @@ class HeatmapV1Engine(QuantifyEngine):
             area = jnp.maximum(all_area.astype(jnp.float32), 1.0)
             cys = all_s0 / area
             cxs = all_s1 / area
-            valid = (jnp.arange(self.max_labels) < all_count) \
+            # table length follows the EFFECTIVE cap (overflow rescue may
+            # re-run this program at a doubled max_labels)
+            valid = (jnp.arange(max_labels) < all_count) \
                 & (all_area > 0)
             radial = radial_centroid_count_map(
                 roi, cys, cxs, valid, 10, cy.astype(jnp.float32),
@@ -141,13 +146,16 @@ class BlobInspectorEngine(QuantifyEngine):
         self.contour_min_size = contour_min_size
 
     def _megastep_impl(self, params, imgs_u8, thresh, min_area, out_hw,
-                       background_radius, apply_bg):
+                       background_radius, apply_bg, max_labels=None):
         from unetdc_tpu.ops.connected_components import (quantify_mask_batch,
                                                          remove_small_batch)
         from unetdc_tpu.ops.roi import rgb2gray_cv2
 
+        if max_labels is None:
+            max_labels = self.max_labels
         out = super()._megastep_impl(params, imgs_u8, thresh, min_area,
-                                     out_hw, background_radius, apply_bg)
+                                     out_hw, background_radius, apply_bg,
+                                     max_labels)
         oh, ow = out_hw
         masks = jax.vmap(lambda p: jnp.unpackbits(p)[:oh * ow].reshape(
             oh, ow))(out["mask_bits"])
@@ -157,15 +165,15 @@ class BlobInspectorEngine(QuantifyEngine):
         roi0 = jax.vmap(
             lambda g: contour_scan(g, self.contour_thresh))(gray)
         roi = remove_small_batch(roi0, self.contour_min_size,
-                                 self.max_labels, connectivity=2)
+                                 max_labels, connectivity=2)
         m = (masks > 0) & roi
         # component sizes/centroids (8-conn, quantify.py:76-78) without a
         # label image: centroid-size image scattered from compact stats
-        stats = quantify_mask_batch(m, jnp.int32(1), self.max_labels,
+        stats = quantify_mask_batch(m, jnp.int32(1), max_labels,
                                     connectivity=2)
 
         def per_image(roi_i, m_i, st):
-            csi = _centroid_size_from_stats(st, (oh, ow), self.max_labels)
+            csi = _centroid_size_from_stats(st, (oh, ow), max_labels)
             cy, cx = calculate_contours_centroid(roi_i)
             target_pct, _, _, _ = get_targets(m_i, roi_i, csi,
                                               self.nb_layers, cy, cx)

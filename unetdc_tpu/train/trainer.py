@@ -555,28 +555,46 @@ class Trainer:
             last_path = cfg.ckpt_path + ".last"
             from_last = os.path.exists(last_path)
             src = last_path if from_last else cfg.ckpt_path
-            self.variables = load_checkpoint(src)
-            opt_path = src + ".opt"
-            if os.path.exists(opt_path):
-                with open(opt_path, "rb") as f:
-                    self.opt_state = serialization.from_bytes(
-                        self.opt_state, f.read())
-            meta = load_metadata(src) or {}
-            state_path = cfg.ckpt_path + ".state.json"
-            if os.path.exists(state_path):
-                import json
-
-                st = json.load(open(state_path))
+            blob = load_checkpoint(src)
+            if from_last and isinstance(blob, dict) and "state" in blob:
+                # self-consistent bundle: weights + opt + counters from the
+                # SAME epoch by construction (single os.replace)
+                self.variables = blob["variables"]
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, blob["opt"])
+                st = blob["state"]
                 start_epoch = int(st["last_epoch"]) + 1
-                gate.best = (float(st["best_metric"])
-                             if st["best_metric"] is not None else None)
+                bm = float(st["best_metric"])
+                gate.best = None if np.isnan(bm) else bm
                 gate.counter = int(st["patience_counter"])
-                pb = st.get("plateau_best")
-                plateau_best = float(pb) if pb is not None else float("inf")
-                plateau_count = int(st.get("plateau_count", 0))
-            else:  # older checkpoints: best-epoch metadata only
-                start_epoch = int(meta.get("epoch", -1)) + 1
-                gate.best = float(meta.get("best_metric", 0.0))
+                plateau_best = float(st["plateau_best"])
+                plateau_count = int(st["plateau_count"])
+            else:
+                self.variables = blob
+                opt_path = src + ".opt"
+                if os.path.exists(opt_path):
+                    with open(opt_path, "rb") as f:
+                        self.opt_state = serialization.from_bytes(
+                            self.opt_state, f.read())
+                meta = load_metadata(src) or {}
+                state_path = cfg.ckpt_path + ".state.json"
+                if os.path.exists(state_path):
+                    import json
+
+                    st = json.load(open(state_path))
+                    start_epoch = int(st["last_epoch"]) + 1
+                    gate.best = (float(st["best_metric"])
+                                 if st["best_metric"] is not None else None)
+                    gate.counter = int(st["patience_counter"])
+                    pb = st.get("plateau_best")
+                    plateau_best = (float(pb) if pb is not None
+                                    else float("inf"))
+                    plateau_count = int(st.get("plateau_count", 0))
+                else:  # older checkpoints: best-epoch metadata only
+                    start_epoch = int(meta.get("epoch", -1)) + 1
+                    # a best-only checkpoint's own val_dice IS the best
+                    gate.best = float(meta.get(
+                        "best_metric", meta.get("val_dice", 0.0)))
             note = ("" if from_last else
                     " NOTE: weights restored are the BEST checkpoint, not "
                     "the last epoch's.")
@@ -645,22 +663,38 @@ class Trainer:
             import json
 
             if cfg.save_last:
-                # last-epoch weights + optimizer, refreshed EVERY epoch, so
-                # --resume continues the exact trajectory (the best-only
-                # save would silently rewind it to the best epoch)
+                # last-epoch weights + optimizer + FULL resume state in ONE
+                # atomically-replaced msgpack file, so --resume continues
+                # the exact trajectory and an interruption at ANY point
+                # leaves a self-consistent epoch boundary (weights, Adam
+                # moments and counters can never come from different
+                # epochs — they live in the same os.replace)
                 from flax import serialization
 
-                save_checkpoint(cfg.ckpt_path + ".last", self.variables,
-                                {"epoch": epoch, "val_dice": va_dice})
-                with open(cfg.ckpt_path + ".last.opt", "wb") as f:
-                    f.write(serialization.to_bytes(
-                        jax.tree_util.tree_map(np.asarray, self.opt_state)))
-            with open(cfg.ckpt_path + ".state.json", "w") as f:
+                save_checkpoint(cfg.ckpt_path + ".last", {
+                    "variables": self.variables,
+                    "opt": serialization.to_state_dict(
+                        jax.tree_util.tree_map(np.asarray, self.opt_state)),
+                    "state": {
+                        "last_epoch": np.int64(epoch),
+                        "val_dice": np.float64(va_dice),
+                        "best_metric": np.float64(
+                            gate.best if gate.best is not None
+                            else np.nan),
+                        "patience_counter": np.int64(gate.counter),
+                        "plateau_best": np.float64(plateau_best),
+                        "plateau_count": np.int64(plateau_count),
+                    }}, {"epoch": epoch, "val_dice": va_dice})
+            # state.json: the resume source for best-only checkpoints (and
+            # external tooling); the .last bundle carries its own copy
+            tmp = cfg.ckpt_path + ".state.json.tmp"
+            with open(tmp, "w") as f:
                 json.dump({"last_epoch": epoch,
                            "best_metric": gate.best,
                            "patience_counter": gate.counter,
                            "plateau_best": (plateau_best if plateau_best != float("inf") else None),
                            "plateau_count": plateau_count}, f)
+            os.replace(tmp, cfg.ckpt_path + ".state.json")
             if stop:
                 print("Early stopping!")
                 break
