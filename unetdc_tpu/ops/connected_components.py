@@ -572,8 +572,8 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
     if impl in ("pallas", "interp"):
         from unetdc_tpu.ops.pallas_props import table_kernel_is_exact
 
-        _, _kb = _coord_plan(h, w, force_split=True)
-        if not table_kernel_is_exact(h, w, _kb):
+        kshifts, kbits = _coord_plan(h, w, force_split=True)
+        if not table_kernel_is_exact(h, w, kbits):
             # extreme aspect ratio (single row wider than the f32 per-dot
             # exactness bound): the portable scatter path stays exact
             impl = "scatter"
@@ -586,7 +586,6 @@ def quantify_mask_batch(masks: jax.Array, min_area: jax.Array,
         labels = _propagate_n(jnp.where(is_root, rank, 0), fg, 0,
                               connectivity, is_min=False, n=n_sweeps)
         labels = jnp.where(fg, labels, 0)
-        kshifts, kbits = _coord_plan(h, w, force_split=True)
         tables = component_tables(labels, shifts=kshifts, bits=kbits,
                                   interpret=(impl == "interp"))
         return jax.vmap(

@@ -94,9 +94,12 @@ def _props_kernel(h0_ref, w_ref, lab_ref, out_ref, *, shifts, bits):
     Each sub-chunk's MXU dot accumulates in f32 — exact iff its largest
     per-label partial sum (2^bits - 1) * chunk stays < 2^24 (see
     `table_kernel_is_exact`; callers fall back to scatter otherwise). The
-    SUB per-sub-chunk results are accumulated in int32, NOT f32: a solid
-    component spanning a whole super-chunk of a wide image can sum past
-    2^24 (e.g. 255 * 8 * 16384 = 33.4M), where f32 addition rounds."""
+    SUB per-sub-chunk results are accumulated in int32 rather than f32.
+    Within today's supported domain (chunk <= MAX_CHUNK = 8192) f32
+    accumulation would also have been exact — 255 * 8 * 8192 = 16.7M,
+    a <0.4% margin under 2^24 — so int32 buys no correctness today; it
+    removes that margin and keeps the accumulation exact for any future
+    chunk widening (255 * 8 * 16384 = 33.4M would round in f32)."""
     chunk = lab_ref.shape[-1]
     nfeat = 1 + 2 * len(shifts)
     m = (1 << bits) - 1

@@ -565,7 +565,10 @@ class Trainer:
                 st = blob["state"]
                 start_epoch = int(st["last_epoch"]) + 1
                 bm = float(st["best_metric"])
-                gate.best = None if np.isnan(bm) else bm
+                if "has_best" in st:
+                    gate.best = bm if int(st["has_best"]) else None
+                else:  # pre-r5 checkpoints: NaN-as-sentinel heuristic
+                    gate.best = None if np.isnan(bm) else bm
                 gate.counter = int(st["patience_counter"])
                 plateau_best = float(st["plateau_best"])
                 plateau_count = int(st["plateau_count"])
@@ -681,6 +684,11 @@ class Trainer:
                         "best_metric": np.float64(
                             gate.best if gate.best is not None
                             else np.nan),
+                        # explicit flag: NaN is a legal best metric for a
+                        # diverged run, so it cannot double as the
+                        # "no best yet" sentinel
+                        "has_best": np.int64(
+                            1 if gate.best is not None else 0),
                         "patience_counter": np.int64(gate.counter),
                         "plateau_best": np.float64(plateau_best),
                         "plateau_count": np.int64(plateau_count),
