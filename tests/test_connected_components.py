@@ -186,15 +186,44 @@ def test_quantify_mask_large_image_centroids_exact():
 
 
 def test_remove_objects_beyond_default_cap(rng):
-    """Regression: >4095 components must not alias into the size filter."""
+    """>4096 components: remove_objects re-runs at a doubled cap and the
+    result matches the EXACT scipy sieve (degrade-to-correct, VERDICT r4
+    item 5 — previously components ranked past the cap were conservatively
+    kept). Reference is uncapped (algorithms.py:354-367)."""
     from unetdc_tpu.library import remove_objects
 
     m = np.zeros((160, 160), bool)
     m[::2, ::2] = True  # 6400 single-pixel components
     m[100:110, 100:110] = True  # one 100+px blob
     out = remove_objects(m, 10)
-    assert out[105, 105] and out.sum() >= 100
-    assert not out[0, 0]
+
+    ref_lab, n = ndi.label(m, structure=np.ones((3, 3)))
+    sizes = np.bincount(ref_lab.ravel())
+    expected = np.isin(ref_lab, np.nonzero(sizes >= 10)[0][1:])
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_quantify_mask_adaptive_beyond_cap(rng):
+    """>cap components: quantify_mask_adaptive re-runs at a doubled cap
+    and matches scipy exactly (same rescue the engine applies per batch)."""
+    from unetdc_tpu.ops.connected_components import quantify_mask_adaptive
+
+    m = np.zeros((120, 120), np.uint8)
+    m[::2, ::2] = 1  # 3600 single-pixel components
+    m[50:60, 50:64] = 1  # one large blob
+    min_area = 2
+    stats = quantify_mask_adaptive(jnp.asarray(m), min_area, max_labels=512)
+
+    ref, n0 = ndi.label(m, structure=STRUCT_4)
+    assert int(stats["total"]) == n0
+    for lv in range(1, n0 + 1):
+        if (ref == lv).sum() < min_area:
+            ref[ref == lv] = 0
+    ref2, n2 = ndi.label(ref > 0, structure=STRUCT_4)
+    assert int(stats["count"]) == n2
+    for k in range(1, n2 + 1):
+        ys, xs = np.where(ref2 == k)
+        assert int(stats["area"][k - 1]) == len(ys)
 
 
 def test_blob_dog_equal_radii():

@@ -203,14 +203,23 @@ def contour_shrinking_box(image, threshold) -> np.ndarray:
 def remove_objects(contour_mask, min_size) -> np.ndarray:
     """algorithms.py:354-367. One propagation + compact table — no host
     round-trip (an earlier version labeled twice with a blocking int() sync
-    between, just to size num_segments). Components ranked beyond the 4096
-    table capacity are conservatively kept (remove_small_batch semantics);
-    that only triggers on masks with >4096 8-connected contour blobs."""
-    from unetdc_tpu.ops.connected_components import remove_small_batch
+    between, just to size num_segments). The reference's skimage path has
+    no component cap; when a mask has more than 4096 8-connected blobs the
+    exact root count (returned alongside the sieve) triggers a re-run at
+    the next power-of-two cap that fits, so the result is always the exact
+    sieve (degrade-to-correct, one extra compile on such masks)."""
+    from unetdc_tpu.ops.connected_components import remove_small_batch_counted
 
     m = jnp.asarray(contour_mask)
-    return np.asarray(remove_small_batch(
-        m[None], jnp.asarray(min_size), max_labels=4096, connectivity=2)[0])
+    cap = 4096
+    while True:
+        kept, total = remove_small_batch_counted(
+            m[None], jnp.asarray(min_size), max_labels=cap, connectivity=2)
+        t = int(total[0])
+        if t <= cap:
+            return np.asarray(kept[0])
+        while cap < t:
+            cap *= 2
 
 
 def calculate_contours_centroid(image):

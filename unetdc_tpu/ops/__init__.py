@@ -10,8 +10,10 @@ from unetdc_tpu.ops.connected_components import (  # noqa: F401
     label_batch,
     propagate_roots,
     quantify_mask,
+    quantify_mask_adaptive,
     quantify_mask_batch,
     remove_small_batch,
+    remove_small_batch_counted,
     sieve_small_components,
 )
 from unetdc_tpu.ops.regionprops import (  # noqa: F401

@@ -305,14 +305,26 @@ def label_batch(masks: jax.Array, connectivity: int = 1
             is_root.sum(axis=(1, 2)).astype(jnp.int32))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("max_labels", "connectivity"))
 def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
                        connectivity: int = 2) -> jax.Array:
     """Batched remove_objects (algorithms.py:354-367): drop components
     smaller than min_size. Gather-free: component areas land in a compact
     table, keep flags are scattered back to the root pixels and
     max-propagated over each component."""
+    return remove_small_batch_counted(masks, min_size, max_labels,
+                                      connectivity)[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_labels", "connectivity"))
+def remove_small_batch_counted(
+        masks: jax.Array, min_size, max_labels: int,
+        connectivity: int = 2) -> Tuple[jax.Array, jax.Array]:
+    """`remove_small_batch` plus the EXACT per-image component count
+    (B,) int32 — counted from the propagation roots, independent of the
+    table cap, so callers can detect cap overflow and degrade-to-correct
+    by re-running at a doubled cap (see `library.remove_objects`; the
+    reference's skimage path has no cap, algorithms.py:354-367)."""
     b, h, w = masks.shape
     n_pix = h * w
     fg = masks.astype(bool)
@@ -343,13 +355,15 @@ def remove_small_batch(masks: jax.Array, min_size, max_labels: int,
         return seed[:-1].reshape(h, w)
 
     # components ranked beyond max_labels have unknown area: keep them
-    # (conservative pass-through) rather than silently dropping them
+    # (conservative pass-through) so no component silently disappears;
+    # the returned exact count lets callers detect this and re-run at a
+    # larger cap for the correct sieve (degrade-to-correct)
     overflow = is_root & (rank > max_labels)
     seeds = jax.vmap(keep_seed)(fg, is_root, rank, roots)
     seeds = jnp.where(overflow, 1, seeds)
     kept = _propagate_n(jnp.where(fg, seeds, 0), fg, 0,
                         connectivity, is_min=False, n=n_sweeps)
-    return fg & (kept > 0)
+    return fg & (kept > 0), is_root.sum(axis=(1, 2)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments",))
@@ -680,3 +694,24 @@ def quantify_mask(mask: jax.Array, min_area: jax.Array, max_labels: int,
     """
     roots = propagate_roots(mask, connectivity)
     return _quantify_from_roots(mask, roots, min_area, max_labels)
+
+
+def quantify_mask_adaptive(mask: jax.Array, min_area, max_labels: int = 4096,
+                           connectivity: int = 1):
+    """Degrade-to-correct `quantify_mask`: when the exact component count
+    ('total', counted from propagation roots independent of the cap)
+    overflows the table cap, re-run at the next power-of-two cap that
+    fits — the same rescue the flagship engine applies per batch
+    (pipelines/engine.py `_rerun_with_cap`). The reference has no cap at
+    all (quantify_droplets_batch.py:81-95); this wrapper restores that
+    contract for direct library/ops callers at the cost of one extra
+    compile on pathological masks."""
+    cap = max_labels
+    while True:
+        stats = quantify_mask(mask, jnp.asarray(min_area), cap,
+                              connectivity)
+        total = int(stats["total"])
+        if total <= cap:
+            return stats
+        while cap < total:
+            cap *= 2
