@@ -83,6 +83,101 @@ def _unpair(x: jax.Array) -> jax.Array:
     return x.reshape(b, h, 2 * wp, c2 // 2)
 
 
+def build_pallas_head_params(folded_params: Dict[str, Any],
+                             dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Weights for the fused Pallas kernels (ops/pallas_conv.py): the
+    enc1.conv1+pool kernel and the upconv1+dec1+out_conv head kernel.
+
+    Returns {"wmid","wside","bias"} for `pair_conv_pool` plus
+    {"head": {...}} for `dec1_head`, built from the same folded params as
+    `build_fast_params` (mid/side decomposition documented there)."""
+    from unetdc_tpu.ops.pallas_conv import pair_mid_side
+
+    P = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32),
+                               folded_params)
+
+    def pair_bias(b):
+        return np.concatenate([b, b])[None]  # (1, 2c), f32
+
+    w1 = P["enc1"]["conv1"]["kernel"]  # (3,3,64,64)
+    mid, side = pair_mid_side(w1)
+    pa: Dict[str, Any] = {
+        "wmid": jnp.asarray(mid, dtype),
+        "wside": jnp.asarray(side, dtype),
+        "bias": jnp.asarray(pair_bias(P["enc1"]["conv1"]["bias"]),
+                            jnp.float32),
+    }
+
+    k0 = P["dec1"]["conv0"]["kernel"]  # (3,3,128,64): concat(up, enc1)
+    cg = k0.shape[2] // 2
+    wm_up, ws_up = pair_mid_side(k0[:, :, :cg, :])
+    wm_e, ws_e = pair_mid_side(k0[:, :, cg:, :])
+    wm1, ws1 = pair_mid_side(P["dec1"]["conv1"]["kernel"])
+    wu = P["upconv1"]["kernel"]  # (I, O, 2, 2) torch ConvTranspose2d
+    i, o = wu.shape[0], wu.shape[1]
+    oc = P["out_conv"]["kernel"]  # (1,1,64,n_out)
+    n_out = oc.shape[3]
+    ocp = np.zeros((2 * o, 2 * n_out), np.float32)
+    for q in range(2):
+        ocp[q * o:(q + 1) * o, q * n_out:(q + 1) * n_out] = oc[0, 0]
+    pa["head"] = {
+        "upk": jnp.asarray(
+            np.transpose(wu, (0, 2, 3, 1)).reshape(i, 4 * o), dtype),
+        "upb": jnp.asarray(np.tile(P["upconv1"]["bias"], 4)[None],
+                           jnp.float32),
+        "wm_up": jnp.asarray(wm_up, dtype),
+        "ws_up": jnp.asarray(ws_up, dtype),
+        "wm_e": jnp.asarray(wm_e, dtype),
+        "ws_e": jnp.asarray(ws_e, dtype),
+        "b0": jnp.asarray(pair_bias(P["dec1"]["conv0"]["bias"]),
+                          jnp.float32),
+        "wm1": jnp.asarray(wm1, dtype),
+        "ws1": jnp.asarray(ws1, dtype),
+        "b1": jnp.asarray(pair_bias(P["dec1"]["conv1"]["bias"]),
+                          jnp.float32),
+        "ock": jnp.asarray(ocp, dtype),
+        "ocb": jnp.asarray(np.tile(P["out_conv"]["bias"], 2)[None],
+                           jnp.float32),
+    }
+    return pa
+
+
+def forward_folded_pallas(fp: Dict[str, Any], x: jax.Array,
+                          dilations: Tuple[int, ...] = (1, 2, 4, 8, 16),
+                          apply_sigmoid: bool = True,
+                          interpret: bool = False) -> jax.Array:
+    """`forward_folded` with the thin-channel stages on the fused Pallas
+    kernels (ops/pallas_conv.py): enc1.conv1+pool1 fused, and
+    upconv1+dec1+out_conv+sigmoid fused. Same MACs, f32 accumulation in
+    the fused stages. Requires fp["_pa"] = build_pallas_head_params(...).
+    Single-device only (pallas_call has no GSPMD partitioning rule)."""
+    from unetdc_tpu.ops.pallas_conv import dec1_head, pair_conv_pool
+
+    d = dilations
+    assert d[0] == 1, "pair layout only implemented for undilated enc1"
+    pa = fp["_pa"]
+    dt = fp["enc1"]["k0"].dtype
+    xp = _pair(x.astype(dt))
+    h = _conv(xp, fp["enc1"]["k0"], fp["enc1"]["b0"])  # stem (XLA)
+    enc1p, pooled = pair_conv_pool(h, pa["wmid"], pa["wside"], pa["bias"],
+                                   interpret=interpret)
+    enc2 = _dc(pooled, fp["enc2"], d[1])
+    enc3 = _dc(_pool(enc2), fp["enc3"], d[2])
+    enc4 = _dc(_pool(enc3), fp["enc4"], d[3])
+    bott = _dc(_pool(enc4), fp["bottleneck"], d[4])
+
+    dec4 = _dc(jnp.concatenate([_upconv_t(bott, fp["upconv4"]), enc4], -1),
+               fp["dec4"])
+    dec3 = _dc(jnp.concatenate([_upconv_t(dec4, fp["upconv3"]), enc3], -1),
+               fp["dec3"])
+    dec2 = _dc(jnp.concatenate([_upconv_t(dec3, fp["upconv2"]), enc2], -1),
+               fp["dec2"])
+    out = dec1_head(dec2, enc1p, pa["head"], sigmoid=apply_sigmoid,
+                    interpret=interpret)
+    b, hh, wp, no2 = out.shape
+    return out.reshape(b, hh, wp * 2, no2 // 2)
+
+
 def build_fast_params(folded_params: Dict[str, Any],
                       dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Precompute inference kernels from `fold_batchnorm(...)['params']`.

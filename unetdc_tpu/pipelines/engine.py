@@ -117,6 +117,19 @@ class QuantifyEngine:
             want = jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16)
         self._use_fast = (quantize is None and want
                           and self._dilations[0] == 1 and img_size % 2 == 0)
+        # Fused Pallas kernels for the thin-channel stages
+        # (ops/pallas_conv.py: enc1.conv1+pool1 and upconv1+dec1+out_conv
+        # fused; measured r5 forward 23.7 -> 21.6 ms/batch-8 same-process
+        # interleaved A/B). Single-chip only — pallas_call has no GSPMD
+        # partitioning rule, so any mesh keeps the pure-XLA path.
+        # UNETDC_TPU_PALLAS=0 disables; =interp runs the kernels in
+        # interpreter mode (CPU tests).
+        penv = os.environ.get("UNETDC_TPU_PALLAS", "auto")
+        self._pallas_interp = penv == "interp"
+        self._use_pallas = (self._use_fast and mesh is None
+                            and penv != "0"
+                            and (penv in ("1", "interp")
+                                 or jax.default_backend() == "tpu"))
         self.calib_path = calib_path
         self.calib_maxima = None  # (len(TAGS),) f32 once calibrated
         if quantize == "int8":
@@ -136,9 +149,13 @@ class QuantifyEngine:
                 from unetdc_tpu.models import unet_int8 as qi
                 self._finalize_int8(qi.load_calibration(calib_path))
         elif self._use_fast:
-            from unetdc_tpu.models.unet_fast import build_fast_params
+            from unetdc_tpu.models.unet_fast import (build_fast_params,
+                                                     build_pallas_head_params)
             self.params = build_fast_params(folded["params"],
                                             dtype=compute_dtype)
+            if self._use_pallas:
+                self.params["_pa"] = build_pallas_head_params(
+                    folded["params"], dtype=compute_dtype)
         else:
             self.params = folded
         if mesh is not None and self.params is not None:
@@ -159,7 +176,11 @@ class QuantifyEngine:
             from unetdc_tpu.models.unet_int8 import forward_int8
             return forward_int8(params, x, self._dilations)
         if self._use_fast:
-            from unetdc_tpu.models.unet_fast import forward_folded
+            from unetdc_tpu.models.unet_fast import (forward_folded,
+                                                     forward_folded_pallas)
+            if self._use_pallas:
+                return forward_folded_pallas(params, x, self._dilations,
+                                             interpret=self._pallas_interp)
             return forward_folded(params, x, self._dilations)
         return self.model.apply(params, x, train=False)
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Callable, Dict
 
@@ -160,6 +161,21 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
         ("packbits", st_packbits, masks),
     ]
 
+    if jax.default_backend() == "tpu" and os.environ.get(
+            "UNETDC_TPU_PALLAS", "auto") != "0":
+        # production single-chip forward since r5: fused Pallas kernels
+        # for the thin-channel stages (ops/pallas_conv.py)
+        from unetdc_tpu.models.unet_fast import (build_pallas_head_params,
+                                                 forward_folded_pallas)
+        fastp_pa = dict(fastp)
+        fastp_pa["_pa"] = build_pallas_head_params(folded["params"],
+                                                   dtype=jnp.bfloat16)
+
+        def st_forward_pallas(c):
+            return forward_folded_pallas(fastp_pa, c, UNetDC.dilations)
+
+        stages.append(("forward_pallas", st_forward_pallas, x_f32))
+
     if int8:
         from unetdc_tpu.models import unet_int8 as qi
 
@@ -193,8 +209,14 @@ def profile_stages(batch: int = 8, size: int = 512, iters: int = 24,
             print(f"  {name:20s} {sec * 1e3:9.2f} ms/batch-{batch}  "
                   f"{batch / sec if sec else float('inf'):9.1f} img/s")
 
-    out["total"] = sum(v for k, v in out.items() if k != "forward_int8")
+    out["total"] = sum(v for k, v in out.items()
+                       if k not in ("forward_int8", "forward_pallas"))
     out["img_per_s_device"] = batch / out["total"]
+    if "forward_pallas" in out:
+        # the engine's actual single-chip megastep since r5
+        out["total_pallas"] = (out["total"] - out["forward_bf16"]
+                               + out["forward_pallas"])
+        out["img_per_s_device_pallas"] = batch / out["total_pallas"]
     if "forward_int8" in out:
         out["total_int8"] = (out["total"] - out["forward_bf16"]
                              + out["forward_int8"])
