@@ -95,6 +95,7 @@ def test_stage_timer_report():
     assert "decode" in rep and "x2" in rep
 
 
+@pytest.mark.slow
 def test_train_dc_focal_cli_e2e_with_extra_viz(tmp_path, monkeypatch):
     """End-to-end focal-trainer CLI run incl. the reference's extra test-set
     visualization passes (train_DC_focal.py:506-611): the

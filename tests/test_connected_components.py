@@ -37,6 +37,7 @@ def test_label_matches_scipy(rng, connectivity, struct, p):
 
 
 @pytest.mark.parametrize("connectivity", [1, 2])
+@pytest.mark.slow
 def test_cum_scan_propagation_matches_hillis_steele(rng, connectivity):
     """The offset-trick cumulative-scan propagation (the r3 default within
     its int32 headroom, `_seg_scan_cum`) must be bit-identical to the
@@ -245,6 +246,7 @@ def test_quantify_mask_empty():
     assert int(stats["count"]) == 0 and int(stats["total"]) == 0
 
 
+@pytest.mark.slow
 def test_label_fuzz_many_seeds():
     """Fuzz: 20 random masks across densities/shapes/connectivities must
     match scipy exactly (labels AND ordering)."""

@@ -2,6 +2,7 @@
 multi-chip dry run on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 
 def test_entry_signature():
@@ -12,6 +13,7 @@ def test_entry_signature():
     assert "params" in params
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

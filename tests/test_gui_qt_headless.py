@@ -85,6 +85,7 @@ def test_gui_error_tail_path(qt, tmp_path, monkeypatch):
     assert set(tail_lines) <= set(win.log.lines)
 
 
+@pytest.mark.slow
 def test_gui_full_run_and_results_viewer(qt, tmp_path, monkeypatch):
     """Full success path: real checkpoint, real CLI subprocess, results
     tables + histogram preview + overlay gallery populated from the

@@ -96,6 +96,7 @@ def test_int8_agreement_random_init(folded_random):
 
 @pytest.mark.skipif(importlib.util.find_spec("torch") is None,
                     reason="torch oracle")
+@pytest.mark.slow
 def test_engine_int8_end_to_end(tmp_path):
     """QuantifyEngine(quantize='int8') vs the f32 parity engine on a
     decisive checkpoint. Also pins lazy calibration + packed fetch.
@@ -200,6 +201,7 @@ def test_calibrate_multi_batch_accumulates(folded_random, tmp_path):
 
 @pytest.mark.skipif(importlib.util.find_spec("torch") is None,
                     reason="torch oracle")
+@pytest.mark.slow
 def test_int8_sidecar_pins_masks_across_input_orders(tmp_path):
     """VERDICT r3 item 4 'done' criterion: with a calibration sidecar, two
     runs that see the dataset in DIFFERENT orders produce byte-identical
@@ -239,6 +241,7 @@ def test_int8_sidecar_pins_masks_across_input_orders(tmp_path):
 
 @pytest.mark.skipif(importlib.util.find_spec("torch") is None,
                     reason="torch oracle")
+@pytest.mark.slow
 def test_pipeline_calibrates_on_canonical_sorted_subset(tmp_path):
     """BatchQuantifyPipeline calibrates int8 scales from the first images
     in SORTED filename order (not dispatch order), accumulating maxima

@@ -191,6 +191,7 @@ def test_quantify_table_path_matches_scatter_on_split_plan():
                                       err_msg=k)
 
 
+@pytest.mark.slow
 def test_quantify_4096_exact_vs_scipy():
     """THE capability-cliff test (VERDICT r3 item 1 'done' criterion):
     a 4096x4096 mask — 16.7M px, 2x past the old hard-raise — quantifies
@@ -275,3 +276,53 @@ def test_quantify_wider_than_max_chunk_falls_back_exact():
     with pytest.raises(ValueError, match="exactness bound"):
         component_tables(jnp.zeros((1, 40, 20000), jnp.int32),
                          shifts=(0, 8), bits=8, interpret=True)
+
+
+@pytest.mark.slow
+def test_cli_4096_end_to_end(tmp_path):
+    """VERDICT r4 item 6: one 4096^2 image through the FLAGSHIP CLI,
+    unmodified (forward at the reference's 512 working resolution, mask
+    resized back, quantification at native 4096^2) — predicted-mask PNG
+    and droplet tables must match the torch+cv2+scipy oracle exactly."""
+    torch = pytest.importorskip("torch")
+    import pandas as pd
+    from PIL import Image
+
+    from tests.torch_reference import (make_decisive_checkpoint,
+                                       reference_pipeline_one_image)
+
+    rng = np.random.RandomState(17)
+    img = (rng.rand(4096, 4096, 3) * 60).astype(np.uint8)
+    yy, xx = np.mgrid[:256, :256]
+    for _ in range(48):  # bright blobs at assorted scales
+        cy, cx = rng.randint(200, 3896), rng.randint(200, 3896)
+        r = int(rng.randint(24, 100))
+        sl = np.s_[cy - 128:cy + 128, cx - 128:cx + 128]
+        blob = (yy - 128) ** 2 + (xx - 128) ** 2 <= r * r
+        img[sl] = np.where(blob[..., None],
+                           np.minimum(img[sl] + 180, 255), img[sl])
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(img).save(img_dir / "big.png")
+    ckpt = tmp_path / "ref.pth"
+    tmodel = make_decisive_checkpoint(str(ckpt), seed=0, img_size=512)
+
+    from unetdc_tpu.cli.quantify_droplets_batch import main
+
+    out_dir = tmp_path / "out"
+    main(["--img_dir", str(img_dir), "--ckpt_path", str(ckpt),
+          "--out_dir", str(out_dir), "--batch", "1", "--min_area", "2",
+          "--precision", "f32", "--skip_histogram"])
+
+    ref_mask, ref_df = reference_pipeline_one_image(
+        tmodel, img, 512, 0.3, 2, 3.45, background_radius=50)
+    ours_mask = np.array(
+        Image.open(out_dir / "predicted_masks" / "big_pred.png")) // 255
+    assert ours_mask.shape == (4096, 4096)
+    assert (ours_mask != ref_mask).sum() == 0
+    ours_df = pd.read_csv(out_dir / "big_droplets.csv")
+    assert len(ours_df) == len(ref_df)
+    np.testing.assert_array_equal(ours_df["label"], ref_df["label"])
+    np.testing.assert_array_equal(ours_df["area"], ref_df["area"])
+    for col in ("centroid-0", "centroid-1", "equivalent_diameter"):
+        np.testing.assert_allclose(ours_df[col], ref_df[col], rtol=1e-12)

@@ -148,6 +148,7 @@ def _make_data(img_dir, mask_dir, batch_size):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_ragged_dp_epoch_metrics_match_single_device(tiny_disk_dataset):
     """6 samples / batch 4 -> a ragged tail of 2 that a 4-device mesh pads
     with 2 replicas. Validity weights must exclude the padding from loss,
@@ -197,6 +198,7 @@ def eight_sample_dataset(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_chunked_mesh_training_matches_per_step_mesh(eight_sample_dataset):
     """step_chunk scan fusion under a (4,2) data+space mesh must match the
     per-step mesh path (VERDICT r2 item 2): same epoch metrics, same
@@ -235,6 +237,7 @@ def test_chunked_mesh_training_matches_per_step_mesh(eight_sample_dataset):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_chunked_mesh_devbank_second_epoch_matches(eight_sample_dataset):
     """Epoch 2 served from the device sample bank (no re-upload) must match
     a bank-disabled epoch 2 bit-for-bit under a mesh."""
@@ -259,6 +262,7 @@ def test_chunked_mesh_devbank_second_epoch_matches(eight_sample_dataset):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_trainer_fit_multi_epoch_dp(tiny_disk_dataset, tmp_path):
     """Full Trainer.fit — 2 epochs, ragged batches, checkpoint + resume —
     on a (2,2) data+space mesh vs single device (VERDICT r1 item 8)."""

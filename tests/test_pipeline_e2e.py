@@ -190,6 +190,7 @@ def test_mixed_image_sizes_bucketing(ckpt_and_model, tmp_path):
     assert list(summary.filename) == ["a.png", "b.png", "c.png"]
 
 
+@pytest.mark.slow
 def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     """All-dark image -> no droplets -> header-only droplets CSV and zero
     summary row (reference behavior for empty DataFrames)."""
@@ -215,6 +216,7 @@ def test_empty_image_produces_empty_tables(ckpt_and_model, tmp_path):
     assert summary.loc[0, "total_area_px"] == 0
 
 
+@pytest.mark.slow
 def test_component_overflow_rescued(ckpt_and_model):
     """Exceeding max_labels on the REAL dispatch/fetch path must
     degrade-to-correct: fetch_batch re-runs the batch at a doubled table

@@ -231,6 +231,7 @@ def test_trainer_resume(tiny_dataset, tmp_path):
     assert rec["epoch"] == 2 and "val_dice" in rec
 
 
+@pytest.mark.slow
 def test_trainer_resume_from_last_is_exact(tiny_dataset, tmp_path):
     """VERDICT r3 item 6 'done' criterion: an interrupted + resumed run
     reproduces the uninterrupted run's epoch metrics EXACTLY. Works because
@@ -341,6 +342,7 @@ def test_prefetcher_propagates_and_orders():
         list(Prefetcher(boom()))
 
 
+@pytest.mark.slow
 def test_chunked_training_matches_per_step(tiny_dataset):
     """step_chunk>1 fuses K steps into one lax.scan dispatch.
 
@@ -485,6 +487,7 @@ def test_elastic_coarse_field_subpixel():
     assert float(jnp.abs(jnp.diff(dy, axis=0)).max()) < 0.02
 
 
+@pytest.mark.slow
 def test_chunked_training_mixed_sizes(tmp_path):
     """Chunk grouping flushes correctly at image-size boundaries: a dataset
     with two original sizes must train without error and count every batch

