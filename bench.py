@@ -48,31 +48,50 @@ def make_blob_images(n, h, w, seed=0, gray=False):
     return imgs
 
 
+def _timed_run(engine, imgs, size, depth, iters=10):
+    from collections import deque
+
+    batch = imgs.shape[0]
+    q = deque()
+    for _ in range(depth):
+        q.append(engine.dispatch_batch(imgs, (size, size)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        engine.fetch_batch(q.popleft(), (size, size))
+        q.append(engine.dispatch_batch(imgs, (size, size)))
+    t1 = time.perf_counter()
+    while q:
+        engine.fetch_batch(q.popleft(), (size, size))
+    return batch * iters / (t1 - t0)
+
+
 def bench_engine_loop(engine, imgs, size):
     """Steady-state dispatch/fetch loop at the production pipelining depth
     (2-3 in flight). Returns (best, median) over the repeats: the relay
     link on this machine is shared and varies ~2x run-to-run, so best
     reflects the pipeline's capability and the median makes round-over-
     round comparisons relay-variance-robust (VERDICT r2 item 8)."""
-    from collections import deque
-
-    batch = imgs.shape[0]
-
-    def timed_run(depth, iters=10):
-        q = deque()
-        for _ in range(depth):
-            q.append(engine.dispatch_batch(imgs, (size, size)))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            engine.fetch_batch(q.popleft(), (size, size))
-            q.append(engine.dispatch_batch(imgs, (size, size)))
-        t1 = time.perf_counter()
-        while q:
-            engine.fetch_batch(q.popleft(), (size, size))
-        return batch * iters / (t1 - t0)
-
-    runs = [timed_run(d) for _ in range(2) for d in (2, 3)]
+    runs = [_timed_run(engine, imgs, size, d) for _ in range(2)
+            for d in (2, 3)]
     return float(max(runs)), float(np.median(runs))
+
+
+def bench_engine_loop_paired(configs, size):
+    """Interleaved steady-state loops over multiple configurations so
+    every comparison between them is paired within the same relay hour-
+    slice (VERDICT r4 items 3+8: the link's ~2x hourly variance otherwise
+    swamps config deltas measured in separate blocks/processes).
+
+    configs: [(name, engine, imgs), ...]. Returns {name: (best, median,
+    runs)} where runs[i] are aligned across names (same rep x depth
+    slot, back to back in time)."""
+    runs = {name: [] for name, _, _ in configs}
+    for _ in range(2):
+        for d in (2, 3):
+            for name, engine, imgs in configs:
+                runs[name].append(_timed_run(engine, imgs, size, d))
+    return {name: (float(max(r)), float(np.median(r)), r)
+            for name, r in runs.items()}
 
 
 def bench_device_only(engine, imgs, size, iters=24):
@@ -212,8 +231,6 @@ def main():
     imgs = make_blob_images(BATCH, SIZE, SIZE)
     engine.run_batch(imgs, (SIZE, SIZE), prob_thresh=0.3, min_area=1)  # warm
 
-    img_per_s, img_per_s_med = bench_engine_loop(engine, imgs, SIZE)
-
     # grayscale-data e2e: the reference's real microscopy is grayscale
     # saved as RGB, so channel-equal batches upload ONE channel (3x fewer
     # bytes over the link that bounds e2e). Kept in extra — the headline
@@ -223,13 +240,58 @@ def main():
                                                 gray=True))
     assert gray_imgs.ndim == 3
     engine.run_batch(gray_imgs, (SIZE, SIZE))  # warm the gray-shape compile
-    gray_img_per_s, gray_img_per_s_med = bench_engine_loop(
-        engine, gray_imgs, SIZE)
+
+    # contemporaneous CONTROL: the r4 configuration (pure-XLA forward,
+    # UNETDC_TPU_PALLAS=0) measured in the SAME process, interleaved with
+    # the current config — round-over-round e2e deltas cite this paired
+    # delta, not cross-process medians (VERDICT r4 items 3+8)
+    os.environ["UNETDC_TPU_PALLAS"] = "0"
+    try:
+        engine_xla = QuantifyEngine(variables, compute_dtype=jnp.bfloat16)
+    finally:
+        os.environ.pop("UNETDC_TPU_PALLAS", None)
+    engine_xla.run_batch(imgs, (SIZE, SIZE))  # warm
+
+    # combined fast configuration: int8 forward + grayscale upload
+    # (VERDICT r4 item 2) — measured in the same paired loop
+    configs = [("rgb", engine, imgs), ("gray", engine, gray_imgs),
+               ("rgb_xla_control", engine_xla, imgs)]
+    int8_gray_med = None
+    try:
+        engine_q = QuantifyEngine(variables, compute_dtype=jnp.bfloat16,
+                                  quantize="int8")
+        engine_q.run_batch(gray_imgs, (SIZE, SIZE))  # calibrate + warm
+        configs.append(("int8_gray", engine_q, gray_imgs))
+    except Exception as e:  # noqa: BLE001 — additive info, never sink bench
+        print(f"bench: int8+gray engine failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
+    paired = bench_engine_loop_paired(configs, SIZE)
+    img_per_s, img_per_s_med, rgb_runs = paired["rgb"]
+    gray_img_per_s, gray_img_per_s_med, gray_runs = paired["gray"]
+    ctrl_best, ctrl_med, ctrl_runs = paired["rgb_xla_control"]
+    gray_ratios = [g / r for g, r in zip(gray_runs, rgb_runs)]
+    pallas_ratios = [r / c for r, c in zip(rgb_runs, ctrl_runs)]
+    if "int8_gray" in paired:
+        int8_gray_best, int8_gray_med, _ = paired["int8_gray"]
 
     file_img_per_s = bench_file_pipeline(engine, SIZE)
     device_img_per_s, device_img_per_s_med = bench_device_only(
         engine, imgs, SIZE)
     train_img_per_s, train_mfu = bench_train_step(SIZE, BATCH)
+
+    # int8 agreement on a TRAINED checkpoint (VERDICT r4 item 2): a real
+    # on-chip Trainer.fit to sigmoid saturation, then int8-vs-bf16 masks
+    # and droplet counts on held-out images. The random-init envelope
+    # (0.845-0.996) is the worst case; this is the realistic contract.
+    trained_int8 = {}
+    try:
+        from unetdc_tpu.utils.int8_trained_eval import train_and_eval_int8
+        trained_int8 = train_and_eval_int8(n_images=128, size=256,
+                                           epochs=10)
+    except Exception as e:  # noqa: BLE001 — additive info
+        print(f"bench: trained-int8 eval failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
 
     # per-stage megastep breakdown (ms/batch) so round-over-round perf
     # claims are attributable to stages, not relay luck (VERDICT r2 item 8)
@@ -242,7 +304,8 @@ def main():
         prof = profile_stages(BATCH, SIZE, verbose=False)
     stage_ms = {k: round(v * 1e3, 3) for k, v in prof.items()
                 if k not in ("img_per_s_device", "forward_mfu",
-                             "forward_flops", "img_per_s_device_int8")}
+                             "forward_flops", "img_per_s_device_int8",
+                             "img_per_s_device_pallas")}
 
     with open("BASELINE_MEASURED.json") as f:
         base = json.load(f)["reference_e2e_512_img_per_s"]
@@ -264,6 +327,19 @@ def main():
             "e2e_grayscale_img_per_s": round(gray_img_per_s_med, 3),
             "e2e_grayscale_img_per_s_best": round(gray_img_per_s, 3),
             "e2e_grayscale_vs_baseline": round(gray_img_per_s_med / base, 2),
+            # PAIRED same-hour-slice comparisons (interleaved runs):
+            # gray/rgb upload ratio and current-vs-r4-config (pallas vs
+            # pure-XLA forward) ratio, median over aligned slots with
+            # min/max spread (VERDICT r4 items 3+8)
+            "gray_vs_rgb_paired_ratio": round(
+                float(np.median(gray_ratios)), 3),
+            "gray_vs_rgb_paired_spread": [
+                round(min(gray_ratios), 3), round(max(gray_ratios), 3)],
+            "e2e_r4_config_control_img_per_s": round(ctrl_med, 3),
+            "pallas_vs_xla_e2e_paired_ratio": round(
+                float(np.median(pallas_ratios)), 3),
+            "pallas_vs_xla_e2e_paired_spread": [
+                round(min(pallas_ratios), 3), round(max(pallas_ratios), 3)],
             "device_only_img_per_s": round(device_img_per_s, 3),
             "device_only_img_per_s_median": round(device_img_per_s_med, 3),
             "file_pipeline_img_per_s": round(file_img_per_s, 3),
@@ -277,6 +353,13 @@ def main():
             "int8_device_only_img_per_s": round(
                 prof["img_per_s_device_int8"], 3)
             if "img_per_s_device_int8" in prof else None,
+            # combined fast config: int8 forward + grayscale upload,
+            # paired with the other e2e loops (VERDICT r4 item 2)
+            "e2e_int8_gray_img_per_s": (round(int8_gray_med, 3)
+                                        if int8_gray_med else None),
+            # trained-checkpoint int8 contract (VERDICT r4 item 2):
+            # agreement/count parity after a real on-chip Trainer.fit
+            **{k: round(v, 4) for k, v in trained_int8.items()},
             "baseline_img_per_s": base,
         },
     }))

@@ -46,7 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="quantized forward on the MXU's double-rate int8 "
                         "path (~0.4%% per-tensor quantization error — masks "
-                        "may differ marginally from --precision f32). "
+                        "may differ marginally from --precision f32; on a "
+                        "TRAINED (sigmoid-saturated) checkpoint agreement "
+                        "is near-total — measured r5 on an on-chip-trained "
+                        "model, see ROUND5.md int8_trained_agreement; the "
+                        "0.845-0.996 worst-case envelope applies only to "
+                        "random-init heads whose logits crowd the 0.3 "
+                        "threshold). "
                         "Activation scales load from the --int8_calib "
                         "sidecar when it exists; otherwise they are "
                         "calibrated on the first images in sorted filename "
