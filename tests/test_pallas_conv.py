@@ -85,6 +85,67 @@ def test_forward_folded_pallas_bf16_close_to_f32(folded, rng):
     assert float(jnp.abs(out - ref).max()) < 0.05
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_forward_folded_pallas_spmd_bit_equal_across_meshes(folded, rng):
+    """shard_map spatial/data sharding of the pallas kernels (ppermute
+    halo exchange + ext-mode kernels with per-shard edge flags) must be
+    BIT-identical to the single-device pallas forward — same per-row
+    math, f32 accumulation — across mesh shapes, in bf16."""
+    from unetdc_tpu.core.mesh import make_mesh
+
+    fp = F.build_fast_params(folded["params"], dtype=jnp.bfloat16)
+    fp["_pa"] = F.build_pallas_head_params(folded["params"],
+                                           dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
+    ref = np.asarray(F.forward_folded_pallas(fp, x, interpret=True))
+    for nd, ns in [(8, 1), (2, 4), (1, 8)]:
+        mesh = make_mesh(nd, ns)
+        got = np.asarray(jax.jit(
+            lambda c, m=mesh: F.forward_folded_pallas_spmd(
+                fp, c, mesh=m, shard_space=True, interpret=True))(x))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{nd}x{ns}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_engine_pallas_spmd_interp_matches_single_pallas(rng):
+    """Engine under a ('data','space') mesh with UNETDC_TPU_PALLAS=interp
+    routes through forward_folded_pallas_spmd and produces bit-identical
+    megastep outputs to the single-device pallas engine."""
+    import os
+
+    from unetdc_tpu.core.mesh import make_mesh
+    from unetdc_tpu.models.unet import UNetDC, init_params
+    from unetdc_tpu.pipelines.engine import QuantifyEngine
+
+    variables = init_params(UNetDC(), jax.random.PRNGKey(0),
+                            input_shape=(1, 32, 32, 3))
+    imgs = (rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)
+
+    old = os.environ.get("UNETDC_TPU_PALLAS")
+    try:
+        os.environ["UNETDC_TPU_PALLAS"] = "interp"
+        single = QuantifyEngine(variables, compute_dtype=jnp.bfloat16,
+                                max_labels=512, img_size=64)
+        assert single._use_pallas and not single._use_pallas_spmd
+        ref = single.run_batch(imgs, (64, 64), background_radius=10)
+
+        mesh = make_mesh(2, 4)
+        sharded = QuantifyEngine(variables, compute_dtype=jnp.bfloat16,
+                                 max_labels=512, img_size=64, mesh=mesh,
+                                 shard_space=True)
+        assert sharded._use_pallas_spmd and not sharded._use_pallas
+        out = sharded.run_batch(imgs, (64, 64), background_radius=10)
+    finally:
+        if old is None:
+            os.environ.pop("UNETDC_TPU_PALLAS", None)
+        else:
+            os.environ["UNETDC_TPU_PALLAS"] = old
+
+    np.testing.assert_array_equal(out["mask"], ref["mask"])
+    np.testing.assert_array_equal(out["count"], ref["count"])
+    np.testing.assert_array_equal(out["area"], ref["area"])
+
+
 def test_engine_pallas_interp_matches_xla_masks(tmp_path, rng):
     """Engine opt-in (UNETDC_TPU_PALLAS=interp): megastep masks on a
     decisive checkpoint are bit-identical to the XLA fast path (sigmoid

@@ -178,6 +178,93 @@ def forward_folded_pallas(fp: Dict[str, Any], x: jax.Array,
     return out.reshape(b, hh, wp * 2, no2 // 2)
 
 
+def forward_folded_pallas_spmd(fp: Dict[str, Any], x: jax.Array,
+                               dilations: Tuple[int, ...] = (1, 2, 4, 8, 16),
+                               *, mesh, shard_space: bool = True,
+                               apply_sigmoid: bool = True,
+                               interpret: bool = False) -> jax.Array:
+    """`forward_folded_pallas` under a ('data','space') device mesh.
+
+    The XLA stages (stem, enc2..dec2) stay GSPMD-auto-partitioned exactly
+    like `forward_folded`; the two fused Pallas stages run inside
+    `jax.shard_map` islands, because pallas_call has no GSPMD
+    partitioning rule. Each island first fetches its spatial halo rows
+    from the neighbouring shards with `lax.ppermute` (which zero-fills at
+    the global edges — exactly the kernels' SAME-padding contract) and
+    then invokes the kernels in `ext` mode with per-shard edge flags, so
+    sharded outputs are BIT-identical to the single-device pallas path
+    (same per-row math, f32 accumulation; `tests/test_pallas_conv.py`
+    pins equality across mesh shapes on the virtual CPU mesh).
+
+    Requires: x (B, H, W, 3) with B % mesh['data'] == 0 and
+    H % (2 * mesh['space']) == 0 when `shard_space` (callers guard and
+    fall back to the XLA pair path otherwise — pipelines/engine.py).
+    Reference behavior parity: models/model_2.py:5-80; the reference has
+    no parallelism of any kind (SURVEY §2.7).
+    """
+    from jax.sharding import PartitionSpec
+    from unetdc_tpu.core.mesh import DATA_AXIS, SPACE_AXIS
+    from unetdc_tpu.ops.pallas_conv import dec1_head, pair_conv_pool
+
+    d = dilations
+    assert d[0] == 1, "pair layout only implemented for undilated enc1"
+    pa = fp["_pa"]
+    dt = fp["enc1"]["k0"].dtype
+    S = int(mesh.shape[SPACE_AXIS]) if shard_space else 1
+    spec = PartitionSpec(DATA_AXIS,
+                         SPACE_AXIS if (shard_space and S > 1) else None,
+                         None, None)
+
+    def halo(a, n):
+        """Prepend/append n height rows from the spatial neighbours
+        (zeros at the global edges, matching SAME padding)."""
+        if S == 1:
+            z = jnp.zeros((a.shape[0], n, *a.shape[2:]), a.dtype)
+            return jnp.concatenate([z, a, z], axis=1)
+        fwd = [(i, i + 1) for i in range(S - 1)]
+        rev = [(i + 1, i) for i in range(S - 1)]
+        top = lax.ppermute(a[:, -n:], SPACE_AXIS, fwd)
+        bot = lax.ppermute(a[:, :n], SPACE_AXIS, rev)
+        return jnp.concatenate([top, a, bot], axis=1)
+
+    def edge_flags():
+        if S == 1:
+            return jnp.ones((2,), jnp.int32)
+        i = lax.axis_index(SPACE_AXIS)
+        return jnp.stack([(i == 0).astype(jnp.int32),
+                          (i == S - 1).astype(jnp.int32)])
+
+    def local_a(h):
+        return pair_conv_pool(halo(h, 1), pa["wmid"], pa["wside"],
+                              pa["bias"], interpret=interpret, ext=True)
+
+    def local_b(dec2, enc1p):
+        return dec1_head(halo(dec2, 1), halo(enc1p, 2), pa["head"],
+                         sigmoid=apply_sigmoid, interpret=interpret,
+                         ext=True, edge_flags=edge_flags())
+
+    xp = _pair(x.astype(dt))
+    h = _conv(xp, fp["enc1"]["k0"], fp["enc1"]["b0"])  # stem (XLA, GSPMD)
+    enc1p, pooled = jax.shard_map(local_a, mesh=mesh, in_specs=spec,
+                                  out_specs=(spec, spec),
+                                  check_vma=False)(h)
+    enc2 = _dc(pooled, fp["enc2"], d[1])
+    enc3 = _dc(_pool(enc2), fp["enc3"], d[2])
+    enc4 = _dc(_pool(enc3), fp["enc4"], d[3])
+    bott = _dc(_pool(enc4), fp["bottleneck"], d[4])
+
+    dec4 = _dc(jnp.concatenate([_upconv_t(bott, fp["upconv4"]), enc4], -1),
+               fp["dec4"])
+    dec3 = _dc(jnp.concatenate([_upconv_t(dec4, fp["upconv3"]), enc3], -1),
+               fp["dec3"])
+    dec2 = _dc(jnp.concatenate([_upconv_t(dec3, fp["upconv2"]), enc2], -1),
+               fp["dec2"])
+    out = jax.shard_map(local_b, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec, check_vma=False)(dec2, enc1p)
+    b, hh, wp, no2 = out.shape
+    return out.reshape(b, hh, wp * 2, no2 // 2)
+
+
 def build_fast_params(folded_params: Dict[str, Any],
                       dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Precompute inference kernels from `fold_batchnorm(...)['params']`.

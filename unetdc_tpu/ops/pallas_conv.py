@@ -66,9 +66,16 @@ reference has no analogue of these kernels — they are TPU-specific
 scheduling of the same multiply-accumulates; `tests/test_pallas_conv.py`
 pins agreement in interpret mode against the XLA pair path.
 
-GSPMD note: pallas_call has no auto-partitioning rule, so callers enable
-this path only on an unsharded (single-chip) forward; the mesh path keeps
-the XLA convs (pipelines/engine.py).
+GSPMD note: pallas_call has no auto-partitioning rule. Single-chip
+callers use the kernels directly; under a mesh the kernels run inside
+`jax.shard_map` islands (models/unet_fast.py::forward_folded_pallas_spmd)
+with `ext=True`: the caller concatenates halo rows fetched from the
+spatial neighbours via `lax.ppermute` (zero-filled at the global edges,
+matching SAME padding), the DMA clamps/zero-repairs are skipped because
+every needed row exists in the extended input, and the edge-row masks
+(which zero conv contributions that must not exist outside the GLOBAL
+image) condition on per-shard `edge_flags` [is_top, is_bottom] read from
+SMEM instead of on the local tile index alone.
 """
 
 from __future__ import annotations
@@ -173,11 +180,14 @@ def _matmuls(xv, w_ref, R, M, C):
 
 def _kernel_a(x_hbm, wmid_ref, wside_ref, bias_ref, y_ref, p_ref,
               xbuf, sems, *, T: int, H: int, Wp: int, B: int, C2: int,
-              nT: int):
+              nT: int, ext: bool = False):
     t = pl.program_id(0)
 
     def dmas(tt, slot):
-        return _halo_dmas(x_hbm, xbuf, sems, tt * T, T, 1, H, slot, 0)
+        # ext: x_hbm carries real halo rows (H+2 total; image row r is
+        # src row r+1), so the loads never clamp and no repair is needed
+        return _halo_dmas(x_hbm, xbuf, sems, tt * T + (1 if ext else 0),
+                          T, 1, H + (2 if ext else 0), slot, 0)
 
     slot = jax.lax.rem(t, 2)
 
@@ -194,15 +204,16 @@ def _kernel_a(x_hbm, wmid_ref, wside_ref, bias_ref, y_ref, p_ref,
     for d in dmas(t, slot):
         d.wait()
 
-    zrow = jnp.zeros((1, Wp, B, C2), xbuf.dtype)
+    if not ext:
+        zrow = jnp.zeros((1, Wp, B, C2), xbuf.dtype)
 
-    @pl.when(t == 0)
-    def _():
-        xbuf[slot, 0:1] = zrow
+        @pl.when(t == 0)
+        def _():
+            xbuf[slot, 0:1] = zrow
 
-    @pl.when(t == nT - 1)
-    def _():
-        xbuf[slot, T + 1:T + 2] = zrow
+        @pl.when(t == nT - 1)
+        def _():
+            xbuf[slot, T + 1:T + 2] = zrow
 
     xv = xbuf[slot]
     M = T * Wp * B
@@ -224,22 +235,28 @@ def _pick_tile(H: int, budget_rows: int) -> int:
     return max(t, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "ext"))
 def pair_conv_pool(x: jax.Array, wmid: jax.Array, wside: jax.Array,
                    bias: jax.Array, *, tile: int = 16,
-                   interpret: bool = False
+                   interpret: bool = False, ext: bool = False
                    ) -> Tuple[jax.Array, jax.Array]:
     """ReLU(pair-conv(x)) and its 2x2 max pool in one VMEM pass.
 
     x: (B, H, Wp, 2c) pair-packed bf16/f32; wmid/wside: (3, 2c, 2c) from
     `pair_mid_side`; bias: (1, 2c) f32 (pair-duplicated).
     Returns (y (B, H, Wp, 2c), pool (B, H//2, Wp, c)).
+
+    ext=True (shard_map spatial sharding): x is (B, H+2, Wp, 2c) with one
+    REAL halo row prepended/appended (neighbour rows via ppermute, zeros
+    at the global edges); outputs still cover the H body rows.
     """
-    B, H, Wp, C2 = x.shape
+    B, Hx, Wp, C2 = x.shape
+    H = Hx - 2 if ext else Hx
     T = _pick_tile(H, tile)
     nT = H // T
     xt = jnp.transpose(x, (1, 2, 0, 3))  # bitcast vs XLA's conv layout
-    kern = functools.partial(_kernel_a, T=T, H=H, Wp=Wp, B=B, C2=C2, nT=nT)
+    kern = functools.partial(_kernel_a, T=T, H=H, Wp=Wp, B=B, C2=C2,
+                             nT=nT, ext=ext)
     y, p = pl.pallas_call(
         kern,
         grid=(nT,),
@@ -276,18 +293,22 @@ def pair_conv_pool(x: jax.Array, wmid: jax.Array, wside: jax.Array,
 
 def _kernel_b(dec2_hbm, enc_hbm, upk_ref, upb_ref, wm_up_ref, ws_up_ref,
               wm_e_ref, ws_e_ref, b0_ref, wm1_ref, ws1_ref, b1_ref,
-              ock_ref, ocb_ref, o_ref, dbuf, ebuf, sems, *,
+              ock_ref, ocb_ref, flags_ref, o_ref, dbuf, ebuf, sems, *,
               T: int, H: int, Wp: int, B: int, C2: int, NO2: int, nT: int,
-              sigmoid: bool):
+              sigmoid: bool, ext: bool = False):
     t = pl.program_id(0)
     Th = T // 2
     H2 = H // 2
 
     def dmas(tt, slot):
-        return (_halo_dmas(dec2_hbm, dbuf, sems, tt * Th, Th, 1, H2,
-                           slot, 0)
-                + _halo_dmas(enc_hbm, ebuf, sems, tt * T, T, 2, H,
-                             slot, 3))
+        # ext: sources carry REAL halo rows (dec2: H2+2, enc: H+4), so
+        # the loads never clamp and the enc zero-repair is skipped
+        return (_halo_dmas(dec2_hbm, dbuf, sems,
+                           tt * Th + (1 if ext else 0), Th, 1,
+                           H2 + (2 if ext else 0), slot, 0)
+                + _halo_dmas(enc_hbm, ebuf, sems,
+                             tt * T + (2 if ext else 0), T, 2,
+                             H + (4 if ext else 0), slot, 3))
 
     slot = jax.lax.rem(t, 2)
 
@@ -304,17 +325,26 @@ def _kernel_b(dec2_hbm, enc_hbm, upk_ref, upb_ref, wm_up_ref, ws_up_ref,
     for d in dmas(t, slot):
         d.wait()
 
-    # zero-repair the enc halo rows at the image edges (dec2's zero rows
-    # are handled by the up-row mask below, enc's must be explicit)
-    zrows = jnp.zeros((2, Wp, B, C2), ebuf.dtype)
+    if not ext:
+        # zero-repair the enc halo rows at the image edges (dec2's zero
+        # rows are handled by the up-row mask below, enc's must be
+        # explicit); in ext mode the halo rows arrive real from the
+        # neighbour shard (ppermute zero-fills them at the global edges)
+        zrows = jnp.zeros((2, Wp, B, C2), ebuf.dtype)
 
-    @pl.when(t == 0)
-    def _():
-        ebuf[slot, 0:2] = zrows
+        @pl.when(t == 0)
+        def _():
+            ebuf[slot, 0:2] = zrows
 
-    @pl.when(t == nT - 1)
-    def _():
-        ebuf[slot, T + 2:T + 4] = zrows
+        @pl.when(t == nT - 1)
+        def _():
+            ebuf[slot, T + 2:T + 4] = zrows
+
+    # edge-row masks fire only on tiles touching the GLOBAL image
+    # edges: always true single-device (flags [1,1]); under shard_map
+    # only the first/last spatial shard set them
+    top0 = (t == 0) & (flags_ref[0] != 0)
+    bot0 = (t == nT - 1) & (flags_ref[1] != 0)
 
     # upconv1 on the dec2 tile: pixel-shuffle matmul, rows interleave p
     dv = dbuf[slot]  # (Th+2, Wp, B, C2)
@@ -323,8 +353,8 @@ def _kernel_b(dec2_hbm, enc_hbm, upk_ref, upb_ref, wm_up_ref, ws_up_ref,
     up = jnp.transpose(mat.reshape(Th + 2, Wp, B, 2, C2), (0, 3, 1, 2, 4))
     up = up.reshape(T + 4, Wp, B, C2)
     # rows of `up` are global rows [t*T-2, t*T+T+2): zero outside [0, H)
-    up = _row_mask(up, jnp.where(t == 0, 2, 0),
-                   jnp.where(t == nT - 1, T + 2, T + 4))
+    up = _row_mask(up, jnp.where(top0, 2, 0),
+                   jnp.where(bot0, T + 2, T + 4))
     upv = up.astype(ebuf.dtype)
     ev = ebuf[slot]
 
@@ -339,8 +369,8 @@ def _kernel_b(dec2_hbm, enc_hbm, upk_ref, upb_ref, wm_up_ref, ws_up_ref,
     acc = _side_add(acc, tac, c)
     h = jnp.maximum(acc + b0_ref[0], 0.0)
     # h rows outside the image are conv1's ZERO padding, not conv0(0)
-    h = _row_mask(h, jnp.where(t == 0, 1, 0),
-                  jnp.where(t == nT - 1, T + 1, T + 2))
+    h = _row_mask(h, jnp.where(top0, 1, 0),
+                  jnp.where(bot0, T + 1, T + 2))
     hv = h.astype(ebuf.dtype)
 
     # conv1 over T rows
@@ -359,10 +389,11 @@ def _kernel_b(dec2_hbm, enc_hbm, upk_ref, upb_ref, wm_up_ref, ws_up_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile", "sigmoid", "interpret"))
+                   static_argnames=("tile", "sigmoid", "interpret", "ext"))
 def dec1_head(dec2: jax.Array, enc1p: jax.Array, w: Dict[str, jax.Array],
               *, tile: int = 8, sigmoid: bool = True,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, ext: bool = False,
+              edge_flags: jax.Array | None = None) -> jax.Array:
     """upconv1 + concat + dec1 double conv + out_conv (+ sigmoid), fused.
 
     dec2: (B, H/2, Wp, 2c); enc1p: (B, H, Wp, 2c) pair-packed.
@@ -371,22 +402,32 @@ def dec1_head(dec2: jax.Array, enc1p: jax.Array, w: Dict[str, jax.Array],
     f32, ock (2c, 2*n_out), ocb (1, 2*n_out) f32.
     Returns probabilities/logits (B, H, Wp, 2*n_out) f32 — reshape
     (B, H, W, n_out) outside.
+
+    ext=True (shard_map spatial sharding): dec2 is (B, H/2+2, Wp, 2c)
+    and enc1p (B, H+4, Wp, 2c) with REAL halo rows (ppermute; zeros at
+    the global edges), and `edge_flags` is an int32 (2,) [is_top,
+    is_bottom] marking whether this shard touches the global image
+    edges (the edge-row masks fire only there).
     """
-    B, H2, Wp, C2 = dec2.shape
+    B, H2x, Wp, C2 = dec2.shape
+    H2 = H2x - 2 if ext else H2x
     H = H2 * 2
     NO2 = w["ock"].shape[1]
     T = _pick_tile(H, tile)
     nT = H // T
+    if edge_flags is None:
+        edge_flags = jnp.ones((2,), jnp.int32)
     d2t = jnp.transpose(dec2, (1, 2, 0, 3))   # bitcasts vs conv layout
     e1t = jnp.transpose(enc1p, (1, 2, 0, 3))
     kern = functools.partial(_kernel_b, T=T, H=H, Wp=Wp, B=B, C2=C2,
-                             NO2=NO2, nT=nT, sigmoid=sigmoid)
+                             NO2=NO2, nT=nT, sigmoid=sigmoid, ext=ext)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     o = pl.pallas_call(
         kern,
         grid=(nT,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)] + [vm] * 12,
+                  pl.BlockSpec(memory_space=pl.ANY)] + [vm] * 12
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((T, Wp, B, NO2), lambda t: (t, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, Wp, B, NO2), jnp.float32),
@@ -399,5 +440,6 @@ def dec1_head(dec2: jax.Array, enc1p: jax.Array, w: Dict[str, jax.Array],
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(d2t, e1t, w["upk"], w["upb"], w["wm_up"], w["ws_up"], w["wm_e"],
-      w["ws_e"], w["b0"], w["wm1"], w["ws1"], w["b1"], w["ock"], w["ocb"])
+      w["ws_e"], w["b0"], w["wm1"], w["ws1"], w["b1"], w["ock"], w["ocb"],
+      edge_flags.astype(jnp.int32))
     return jnp.transpose(o, (2, 0, 1, 3))

@@ -126,10 +126,17 @@ class QuantifyEngine:
         # interpreter mode (CPU tests).
         penv = os.environ.get("UNETDC_TPU_PALLAS", "auto")
         self._pallas_interp = penv == "interp"
-        self._use_pallas = (self._use_fast and mesh is None
-                            and penv != "0"
-                            and (penv in ("1", "interp")
-                                 or jax.default_backend() == "tpu"))
+        _pallas_want = (self._use_fast and penv != "0"
+                        and (penv in ("1", "interp")
+                             or jax.default_backend() == "tpu"))
+        self._use_pallas = _pallas_want and mesh is None
+        # under a mesh the same kernels run inside shard_map islands with
+        # ppermute halo exchange (unet_fast.forward_folded_pallas_spmd) —
+        # bit-identical to the single-chip pallas path, so single- and
+        # multi-chip TPU inference stay bit-equal. _apply_model still
+        # falls back to the XLA pair path per-shape when the batch/height
+        # don't divide over the mesh axes.
+        self._use_pallas_spmd = _pallas_want and mesh is not None
         self.calib_path = calib_path
         self.calib_maxima = None  # (len(TAGS),) f32 once calibrated
         if quantize == "int8":
@@ -153,7 +160,7 @@ class QuantifyEngine:
                                                      build_pallas_head_params)
             self.params = build_fast_params(folded["params"],
                                             dtype=compute_dtype)
-            if self._use_pallas:
+            if self._use_pallas or self._use_pallas_spmd:
                 self.params["_pa"] = build_pallas_head_params(
                     folded["params"], dtype=compute_dtype)
         else:
@@ -176,11 +183,26 @@ class QuantifyEngine:
             from unetdc_tpu.models.unet_int8 import forward_int8
             return forward_int8(params, x, self._dilations)
         if self._use_fast:
-            from unetdc_tpu.models.unet_fast import (forward_folded,
-                                                     forward_folded_pallas)
+            from unetdc_tpu.models.unet_fast import (
+                forward_folded, forward_folded_pallas,
+                forward_folded_pallas_spmd)
             if self._use_pallas:
                 return forward_folded_pallas(params, x, self._dilations,
                                              interpret=self._pallas_interp)
+            if self._use_pallas_spmd:
+                from unetdc_tpu.core.mesh import DATA_AXIS, SPACE_AXIS
+                nd = int(self.mesh.shape[DATA_AXIS])
+                ns = (int(self.mesh.shape[SPACE_AXIS])
+                      if self.shard_space else 1)
+                # shard_map needs exact divisibility. For the meshes this
+                # framework builds (space <= 8) the height condition is
+                # implied by the UNet's own H % 16 == 0 constraint — this
+                # guards exotic meshes, falling back to the XLA pair path
+                if x.shape[0] % nd == 0 and x.shape[1] % (2 * ns) == 0:
+                    return forward_folded_pallas_spmd(
+                        params, x, self._dilations, mesh=self.mesh,
+                        shard_space=self.shard_space,
+                        interpret=self._pallas_interp)
             return forward_folded(params, x, self._dilations)
         return self.model.apply(params, x, train=False)
 
